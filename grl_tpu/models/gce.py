@@ -1,0 +1,96 @@
+"""GCE — Global Correlation Estimation.
+
+A clip-level global feature gates every frame's feature map into a
+"correlated" (person-relevant) and "uncorrelated" stream via a 1-channel
+sigmoid spatial mask. Semantics follow reference reid/models/basebranch.py:
+- global feature = mean over (h, w, t) of the trunk output (:58);
+- ``glo_fc``: 2048 -> 1024 linear + BN + ReLU (:38-40);
+- mask head ``corr_atte``: concat(frame map, broadcast global) -> 1x1 convs
+  3072 -> 1024 -> 256 -> 1 with BN (incl. 1-channel BN on the logit) (:42-50);
+- ``x_corr = x * sigmoid(mask)``, ``x_uncorr = x * (1 - sigmoid(mask))``
+  (:63-67).
+
+TPU-first shape discipline: everything stays NHWC; frames ride the batch
+axis as (b*t, 16, 8, 2048); the broadcastized global feature is expanded
+lazily by XLA (no materialized 3072-channel concat in HBM — fused by XLA
+into the first 1x1 conv's matmul).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import nn
+from ..nn import functional as F
+from ..nn.module import Module, init_children
+from .resnet import resnet50_trunk
+
+
+class GCEBackbone(Module):
+    """ResNet-50 trunk + global-correlation split.
+
+    apply(...) input: (b, t, h, w, 3) clip batch.
+    Returns ((x_uncorr, x_corr, corr_map), state):
+      x_uncorr, x_corr: (b, t, 16, 8, 2048); corr_map: (b, t, 16, 8, 1).
+    """
+
+    def __init__(self, trunk=None, compute_dtype=None):
+        cd = compute_dtype
+        self.compute_dtype = cd
+        trunk = trunk if trunk is not None else resnet50_trunk(last_stride=1, compute_dtype=cd)
+        ch = trunk.out_channels  # 2048 for ResNet-50
+        glo = ch // 2            # 1024
+        mid = ch // 8            # 256
+        self.out_channels = ch
+        self.children = {
+            "base": trunk,
+            "glo_fc": nn.Sequential(
+                nn.Linear(ch, glo, compute_dtype=cd),
+                nn.BatchNorm(glo),
+                nn.Lambda(F.relu),
+            ),
+            "corr_atte": nn.Sequential(
+                nn.Conv2d(ch + glo, glo, 1, bias=False, compute_dtype=cd),
+                nn.BatchNorm(glo),
+                nn.Conv2d(glo, mid, 1, bias=False, compute_dtype=cd),
+                nn.BatchNorm(mid),
+                nn.Lambda(F.relu),
+                nn.Conv2d(mid, 1, 1, bias=False, compute_dtype=cd),
+                nn.BatchNorm(1),
+            ),
+        }
+
+    def init(self, rng):
+        return init_children(rng, self.children)
+
+    def apply(self, params, state, clips, *, training=False):
+        b, t, h, w, c = clips.shape
+        frames = clips.reshape(b * t, h, w, c)
+
+        ns = {}
+        x, ns["base"] = self.children["base"].apply(
+            params["base"], state["base"], frames, training=training
+        )
+        fh, fw, fc = x.shape[1], x.shape[2], x.shape[3]
+
+        # Clip-global feature: spatial + temporal mean of layer-4 maps.
+        x_glo = jnp.mean(x.reshape(b, t, fh, fw, fc), axis=(1, 2, 3))
+        glo, ns["glo_fc"] = self.children["glo_fc"].apply(
+            params["glo_fc"], state["glo_fc"], x_glo, training=training
+        )
+        # Broadcast the (b, 1024) global to every frame and pixel.
+        glo_map = jnp.broadcast_to(
+            glo.reshape(b, 1, 1, 1, glo.shape[-1]), (b, t, fh, fw, glo.shape[-1])
+        ).reshape(b * t, fh, fw, glo.shape[-1])
+
+        atte_in = jnp.concatenate([x, glo_map.astype(x.dtype)], axis=-1)
+        logit, ns["corr_atte"] = self.children["corr_atte"].apply(
+            params["corr_atte"], state["corr_atte"], atte_in, training=training
+        )
+        corr_map = F.sigmoid(logit)
+
+        x_corr = x * corr_map
+        x_uncorr = x * (1.0 - corr_map)
+
+        to_clip = lambda a: a.reshape(b, t, fh, fw, a.shape[-1])
+        return (to_clip(x_uncorr), to_clip(x_corr), to_clip(corr_map)), ns

@@ -38,12 +38,15 @@ def batch_stats(x, axis_name=None):
     for a in axes:
         n *= x.shape[a]
     mean = jnp.mean(x32, axis=axes)
-    mean_sq = jnp.mean(jnp.square(x32), axis=axes)
     if axis_name is not None:
         mean = jax.lax.pmean(mean, axis_name)
-        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    # Two-pass variance: E[(x - mean)^2] avoids the catastrophic
+    # cancellation of E[x^2] - E[x]^2 in fp32 (matters for the small
+    # spatial extents this model normalizes over).
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
         n = n * jax.lax.psum(1, axis_name)
-    var = mean_sq - jnp.square(mean)
     return mean, var, n
 
 

@@ -1,0 +1,126 @@
+"""PyTorch state_dict -> grl_tpu pytree conversion.
+
+Supports importing torchvision ImageNet ResNet-50 weights into the trunk
+(the reference's pretrained init, reid/models/resnets1.py:180-189) and full
+reference GRL/Siamese checkpoints. Works on plain numpy arrays so the
+framework itself never needs torch; callers do
+``{k: v.numpy() for k, v in torch.load(p)["state_dict"].items()}`` first.
+
+Layout rules:
+- 4-D conv weights OIHW -> HWIO;
+- 2-D linear weights (out, in) -> (in, out);
+- 1-D ``weight``/``bias`` on norm layers -> ``scale``/``bias`` params;
+- ``running_mean``/``running_var`` -> state ``mean``/``var``;
+- ``num_batches_tracked`` dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Reference ResNet50_GRL_Model wraps the trunk in an anonymous
+# nn.Sequential (reid/models/basebranch.py:27-36) and names the TRL
+# submodules differently (reid/models/grl_model.py:93-128); map those
+# prefixes onto this framework's structured names.
+GRL_ALIASES = {
+    "backbone.base.0": "backbone.base.conv1",
+    "backbone.base.1": "backbone.base.bn1",
+    "backbone.base.4": "backbone.base.layer1",
+    "backbone.base.5": "backbone.base.layer2",
+    "backbone.base.6": "backbone.base.layer3",
+    "backbone.base.7": "backbone.base.layer4",
+    "temporal_learning_block.forward_f1.0": "temporal_learning_block.fwd.f1",
+    "temporal_learning_block.forward_f2.0": "temporal_learning_block.fwd.f2",
+    "temporal_learning_block.channel_atte_foreward_corr": "temporal_learning_block.fwd.atte",
+    "temporal_learning_block.uncorr_memo_forward": "temporal_learning_block.fwd.memo",
+    "temporal_learning_block.backward_f1.0": "temporal_learning_block.bwd.f1",
+    "temporal_learning_block.backward_f2.0": "temporal_learning_block.bwd.f2",
+    "temporal_learning_block.channel_atte_backward_corr": "temporal_learning_block.bwd.atte",
+    "temporal_learning_block.uncorr_memo_backward": "temporal_learning_block.bwd.memo",
+}
+
+
+def _apply_aliases(key, aliases):
+    if not aliases:
+        return key
+    for src in sorted(aliases, key=len, reverse=True):
+        if key == src or key.startswith(src + "."):
+            return aliases[src] + key[len(src):]
+    return key
+
+
+def _set_path(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_to_pytree(flat, aliases=None, strip_prefix="module."):
+    """Convert a flat torch state_dict (numpy values) to (params, state)."""
+    params, state = {}, {}
+    for key, value in flat.items():
+        if key.startswith(strip_prefix):
+            key = key[len(strip_prefix):]
+        key = _apply_aliases(key, aliases)
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = parts[:-1]
+        value = np.asarray(value)
+
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf == "running_mean":
+            _set_path(state, path + ["mean"], value.astype(np.float32))
+        elif leaf == "running_var":
+            _set_path(state, path + ["var"], value.astype(np.float32))
+        elif leaf == "weight":
+            if value.ndim == 4:
+                _set_path(params, path + ["kernel"], np.transpose(value, (2, 3, 1, 0)))
+            elif value.ndim == 2:
+                _set_path(params, path + ["kernel"], value.T)
+            elif value.ndim == 1:
+                _set_path(params, path + ["scale"], value.astype(np.float32))
+            else:
+                raise ValueError(f"Unhandled weight rank for {key}: {value.shape}")
+        elif leaf == "bias":
+            _set_path(params, path + ["bias"], value)
+        elif leaf == "lut":
+            # OIM lookup table buffer (reid/loss/oim.py:43)
+            _set_path(state, path + ["lut"], value)
+        else:
+            raise ValueError(f"Unhandled state_dict leaf: {key}")
+    return params, state
+
+
+def merge_pytree(base, overlay):
+    """Recursively overlay converted leaves onto an init'd pytree.
+
+    Raises on structure mismatch so silent partial loads can't happen
+    (the reference's copy_state_dict silently skips — here it is explicit).
+    """
+    out = dict(base)
+    for k, v in overlay.items():
+        if k not in base:
+            raise KeyError(f"Converted key {k!r} not present in target tree "
+                           f"(have {sorted(base.keys())})")
+        if isinstance(v, dict):
+            out[k] = merge_pytree(base[k], v)
+        else:
+            if np.shape(base[k]) != np.shape(v):
+                raise ValueError(f"Shape mismatch at {k}: {np.shape(base[k])} vs {np.shape(v)}")
+            out[k] = np.asarray(v, dtype=np.asarray(base[k]).dtype)
+    return out
+
+
+def load_imagenet_resnet50(trunk_params, trunk_state, flat):
+    """Overlay torchvision ImageNet resnet50 weights onto a trunk pytree."""
+    drop = {k: v for k, v in flat.items() if not k.startswith(("fc.",))}
+    p, s = torch_to_pytree(drop)
+    return merge_pytree(trunk_params, p), merge_pytree(trunk_state, s)
+
+
+def load_grl_checkpoint(params, state, flat):
+    """Overlay a reference cnn checkpoint onto GRLModel pytrees."""
+    p, s = torch_to_pytree(flat, aliases=GRL_ALIASES)
+    return merge_pytree(params, p), merge_pytree(state, s)
