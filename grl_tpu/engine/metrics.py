@@ -1,0 +1,161 @@
+"""Retrieval metrics: CMC curves, mAP, top-k accuracy.
+
+``evaluate`` reproduces the reference MARS protocol
+(reid/evaluator/eva_functions.py:134-184) — argsort each distance row,
+drop gallery entries sharing the query's pid AND camera, CMC from the first
+remaining hit, AP from cumulative precision at hits — but vectorized over
+all queries (the reference loops per query in Python; here it is a handful
+of numpy cumsum/argsort passes, and the heavy argsort can run on device).
+
+``cmc``/``mean_ap`` cover the open-reid variants used by the legacy
+evaluator (eva_functions.py:18-115) including allshots / cuhk03 /
+market1501 configurations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sorted_masks(distmat, query_ids, gallery_ids, query_cams, gallery_cams):
+    indices = np.argsort(distmat, axis=1)
+    g_ids_s = gallery_ids[indices]
+    g_cams_s = gallery_cams[indices]
+    matches = g_ids_s == query_ids[:, None]
+    junk = matches & (g_cams_s == query_cams[:, None])
+    return indices, matches, ~junk
+
+
+def evaluate(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100):
+    """MARS-protocol CMC + mAP, vectorized.
+
+    Returns (cmc_curve[max_rank], mAP) over queries that have at least one
+    valid (junk-removed) gallery match — identical to the reference's
+    skip-and-renormalize behavior (eva_functions.py:159-178).
+    """
+    distmat = np.asarray(distmat)
+    q_pids, g_pids = np.asarray(q_pids), np.asarray(g_pids)
+    q_camids, g_camids = np.asarray(q_camids), np.asarray(g_camids)
+
+    num_q, num_g = distmat.shape
+    max_rank = min(max_rank, num_g)
+
+    _, matches, keep = _sorted_masks(distmat, q_pids, g_pids, q_camids, g_camids)
+    kept_matches = matches & keep
+    valid = kept_matches.any(axis=1)
+    if not valid.any():
+        raise RuntimeError("Error: all query identities do not appear in gallery")
+
+    # Rank of each sorted column among kept entries for its query.
+    pos = np.cumsum(keep, axis=1) - 1
+
+    # CMC: first kept hit position per query.
+    big = np.iinfo(np.int64).max
+    first_hit = np.where(kept_matches, pos, big).min(axis=1)
+    fh = first_hit[valid]
+    cmc_curve = (fh[:, None] <= np.arange(max_rank)[None, :]).mean(axis=0)
+
+    # AP: cumulative precision at each kept hit.
+    cum_hits = np.cumsum(kept_matches, axis=1)
+    precision = np.where(kept_matches, cum_hits / np.maximum(pos + 1.0, 1.0), 0.0)
+    num_rel = kept_matches.sum(axis=1)
+    ap = precision.sum(axis=1)[valid] / num_rel[valid]
+
+    return cmc_curve.astype(np.float32), float(ap.mean())
+
+
+def cmc(
+    distmat,
+    query_ids=None,
+    gallery_ids=None,
+    query_cams=None,
+    gallery_cams=None,
+    topk=100,
+    separate_camera_set=False,
+    single_gallery_shot=False,
+    first_match_break=False,
+    seed=None,
+):
+    """Open-reid CMC (eva_functions.py:18-79): junk removal keeps entries
+    with different pid OR different camera; supports the allshots /
+    cuhk03 (single_gallery_shot) / market1501 (first_match_break) configs."""
+    distmat = np.asarray(distmat)
+    m, n = distmat.shape
+    query_ids = np.arange(m) if query_ids is None else np.asarray(query_ids)
+    gallery_ids = np.arange(n) if gallery_ids is None else np.asarray(gallery_ids)
+    query_cams = np.zeros(m, np.int32) if query_cams is None else np.asarray(query_cams)
+    gallery_cams = np.ones(n, np.int32) if gallery_cams is None else np.asarray(gallery_cams)
+    rng = np.random.RandomState(seed)
+
+    indices, matches, keep = _sorted_masks(distmat, query_ids, gallery_ids, query_cams, gallery_cams)
+    if separate_camera_set:
+        keep &= gallery_cams[indices] != query_cams[:, None]
+
+    ret = np.zeros(topk)
+    num_valid = 0
+    for i in range(m):
+        valid = keep[i]
+        if not np.any(matches[i] & valid):
+            continue
+        if single_gallery_shot:
+            repeat = 10
+            gids = gallery_ids[indices[i][valid]]
+            inds = np.where(valid)[0]
+            groups = {}
+            for j, x in zip(inds, gids):
+                groups.setdefault(x, []).append(j)
+        else:
+            repeat = 1
+        for _ in range(repeat):
+            if single_gallery_shot:
+                sampled = np.zeros(len(valid), dtype=bool)
+                for _, js in groups.items():
+                    sampled[rng.choice(js)] = True
+                index = np.nonzero(matches[i] & valid & sampled)[0]
+            else:
+                index = np.nonzero(matches[i] & valid)[0]
+            delta = 1.0 / (len(index) * repeat)
+            for j, k in enumerate(index):
+                if k - j >= topk:
+                    break
+                if first_match_break:
+                    ret[k - j] += 1
+                    break
+                ret[k - j] += delta
+        num_valid += 1
+    if num_valid == 0:
+        raise RuntimeError("No valid query")
+    return ret.cumsum() / num_valid
+
+
+def mean_ap(distmat, query_ids=None, gallery_ids=None, query_cams=None, gallery_cams=None):
+    """Open-reid mAP (eva_functions.py:82-115): AP via the interpolation-free
+    precision average (equivalent to sklearn average_precision_score on the
+    negated distances)."""
+    distmat = np.asarray(distmat)
+    m, n = distmat.shape
+    query_ids = np.arange(m) if query_ids is None else np.asarray(query_ids)
+    gallery_ids = np.arange(n) if gallery_ids is None else np.asarray(gallery_ids)
+    query_cams = np.zeros(m, np.int32) if query_cams is None else np.asarray(query_cams)
+    gallery_cams = np.ones(n, np.int32) if gallery_cams is None else np.asarray(gallery_cams)
+
+    _, matches, keep = _sorted_masks(distmat, query_ids, gallery_ids, query_cams, gallery_cams)
+    kept = matches & keep
+    valid = kept.any(axis=1)
+    if not valid.any():
+        raise RuntimeError("No valid query")
+    pos = np.cumsum(keep, axis=1) - 1
+    cum_hits = np.cumsum(kept, axis=1)
+    precision = np.where(kept, cum_hits / np.maximum(pos + 1.0, 1.0), 0.0)
+    ap = precision.sum(axis=1)[valid] / kept.sum(axis=1)[valid]
+    return float(ap.mean())
+
+
+def accuracy(output, target, topk=(1,)):
+    """Top-k accuracy over logits (eva_functions.py:118-131)."""
+    output = np.asarray(output)
+    target = np.asarray(target)
+    maxk = max(topk)
+    pred = np.argsort(-output, axis=1)[:, :maxk]
+    correct = pred == target[:, None]
+    return [float(correct[:, :k].any(axis=1).mean()) for k in topk]

@@ -1,0 +1,18 @@
+"""Training losses (reference reid/loss/__init__.py surface)."""
+
+from .oim import OIMLoss, cross_entropy, init_lut, oim_logits, update_lut
+from .pairloss import PairLoss, pair_loss
+from .triplet import TripletLoss, TripletLossOIM, euclidean_cdist
+
+__all__ = [
+    "OIMLoss",
+    "init_lut",
+    "oim_logits",
+    "update_lut",
+    "cross_entropy",
+    "PairLoss",
+    "pair_loss",
+    "TripletLoss",
+    "TripletLossOIM",
+    "euclidean_cdist",
+]

@@ -1,0 +1,151 @@
+"""Metric correctness vs straightforward per-query loop oracles."""
+
+import numpy as np
+import pytest
+
+from grl_tpu.engine import metrics
+from grl_tpu.engine.rerank import re_ranking
+
+
+def mars_oracle(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100):
+    """Loop oracle for the MARS protocol (one query at a time)."""
+    num_q, num_g = distmat.shape
+    max_rank = min(max_rank, num_g)
+    cmcs, aps = [], []
+    for qi in range(num_q):
+        order = np.argsort(distmat[qi])
+        pids, cams = g_pids[order], g_camids[order]
+        keep = ~((pids == q_pids[qi]) & (cams == q_camids[qi]))
+        hits = (pids[keep] == q_pids[qi]).astype(np.int64)
+        if hits.sum() == 0:
+            continue
+        curve = np.clip(np.cumsum(hits), 0, 1)[:max_rank]
+        if len(curve) < max_rank:
+            curve = np.pad(curve, (0, max_rank - len(curve)), constant_values=curve[-1])
+        cmcs.append(curve)
+        prec = np.cumsum(hits) / (np.arange(len(hits)) + 1.0)
+        aps.append((prec * hits).sum() / hits.sum())
+    return np.mean(cmcs, axis=0), float(np.mean(aps))
+
+
+def random_protocol_case(seed, num_q=12, num_g=40, num_ids=6, num_cams=3):
+    rng = np.random.RandomState(seed)
+    q_pids = rng.randint(0, num_ids, num_q)
+    g_pids = rng.randint(0, num_ids, num_g)
+    q_cams = rng.randint(0, num_cams, num_q)
+    g_cams = rng.randint(0, num_cams, num_g)
+    dist = rng.rand(num_q, num_g).astype(np.float32)
+    return dist, q_pids, g_pids, q_cams, g_cams
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_evaluate_matches_loop_oracle(seed):
+    dist, qp, gp, qc, gc = random_protocol_case(seed)
+    got_cmc, got_map = metrics.evaluate(dist, qp, gp, qc, gc, max_rank=10)
+    want_cmc, want_map = mars_oracle(dist, qp, gp, qc, gc, max_rank=10)
+    np.testing.assert_allclose(got_cmc, want_cmc, rtol=1e-6)
+    np.testing.assert_allclose(got_map, want_map, rtol=1e-6)
+
+
+def test_evaluate_perfect_ranking():
+    # gallery ordered exactly by identity match -> rank-1 = 1, mAP = 1
+    q_pids = np.array([0, 1])
+    g_pids = np.array([0, 1, 2, 3])
+    dist = np.array([[0.0, 1, 1, 1], [1, 0.0, 1, 1]], dtype=np.float32)
+    cmc_curve, mAP = metrics.evaluate(dist, q_pids, g_pids, np.zeros(2), np.ones(4))
+    assert cmc_curve[0] == 1.0 and mAP == 1.0
+
+
+def test_evaluate_junk_removal():
+    # the best match shares pid+cam with the query -> junk, so the true hit
+    # is the later different-cam entry and still counts at rank 1
+    q_pids, q_cams = np.array([5]), np.array([2])
+    g_pids = np.array([5, 5, 7])
+    g_cams = np.array([2, 0, 1])
+    dist = np.array([[0.0, 0.5, 0.2]], dtype=np.float32)
+    cmc_curve, mAP = metrics.evaluate(dist, q_pids, g_pids, q_cams, g_cams)
+    # after junk removal the order is [pid7(0.2), pid5/cam0(0.5)]
+    assert cmc_curve[0] == 0.0 and cmc_curve[1] == 1.0
+    np.testing.assert_allclose(mAP, 0.5)
+
+
+def test_mean_ap_matches_sklearn():
+    from sklearn.metrics import average_precision_score
+
+    dist, qp, gp, qc, gc = random_protocol_case(7)
+    got = metrics.mean_ap(dist, qp, gp, qc, gc)
+    aps = []
+    for i in range(dist.shape[0]):
+        order = np.argsort(dist[i])
+        valid = (gp[order] != qp[i]) | (gc[order] != qc[i])
+        y = (gp[order] == qp[i])[valid]
+        s = -dist[i][order][valid]
+        if y.any():
+            aps.append(average_precision_score(y, s))
+    np.testing.assert_allclose(got, np.mean(aps), rtol=1e-6)
+
+
+def test_accuracy_topk():
+    out = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.2, 0.3, 0.5]])
+    tgt = np.array([1, 2, 2])
+    top1, top2 = metrics.accuracy(out, tgt, topk=(1, 2))
+    np.testing.assert_allclose(top1, 2 / 3)
+    np.testing.assert_allclose(top2, 2 / 3)
+
+
+def test_cmc_first_match_break():
+    dist = np.array([[0.1, 0.2, 0.3]])
+    res = metrics.cmc(
+        dist, np.array([0]), np.array([1, 0, 0]),
+        np.array([0]), np.array([1, 1, 1]),
+        topk=3, first_match_break=True,
+    )
+    np.testing.assert_allclose(res, [0, 1, 1])
+
+
+def jaccard_oracle(qg, qq, gg, k1, k2, lam):
+    """Tiny loop oracle following the paper definitions directly."""
+    nq = qg.shape[0]
+    orig = np.block([[qq, qg], [qg.T, gg]]).astype(np.float32) ** 2
+    orig = (orig / orig.max(axis=0)).T
+    n = orig.shape[0]
+    rank = np.argsort(orig, axis=1)
+
+    def recip(i, k):
+        fwd = rank[i, : k + 1]
+        return np.array([j for j in fwd if i in rank[j, : k + 1]])
+
+    half = int(np.around(k1 / 2.0))
+    v = np.zeros((n, n), np.float32)
+    for i in range(n):
+        r = recip(i, k1)
+        expanded = set(r.tolist())
+        for c in r:
+            bc = recip(c, half)
+            if len(np.intersect1d(bc, r)) > (2.0 / 3.0) * len(bc):
+                expanded |= set(bc.tolist())
+        idx = np.array(sorted(expanded))
+        w = np.exp(-orig[i, idx])
+        v[i, idx] = w / w.sum()
+    if k2 != 1:
+        v = np.stack([v[rank[i, :k2]].mean(axis=0) for i in range(n)])
+    jac = np.zeros((nq, n), np.float32)
+    for i in range(nq):
+        ms = np.minimum(v[i][None, :], v).sum(axis=1)
+        jac[i] = 1 - ms / (2 - ms)
+    final = jac * (1 - lam) + orig[:nq] * lam
+    return final[:, nq:]
+
+
+def test_re_ranking_matches_oracle():
+    rng = np.random.RandomState(11)
+    feats = rng.randn(18, 8).astype(np.float32)
+    q, g = feats[:6], feats[6:]
+
+    def cdist(a, b):
+        return np.sqrt(((a[:, None] - b[None]) ** 2).sum(-1) + 1e-12)
+
+    qg, qq, gg = cdist(q, g), cdist(q, q), cdist(g, g)
+    got = re_ranking(qg, qq, gg, k1=4, k2=2, lambda_value=0.3)
+    want = jaccard_oracle(qg, qq, gg, k1=4, k2=2, lam=0.3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
