@@ -1,0 +1,185 @@
+"""The GRL training step — loss recipe, gradients, optimizer, OIM updates.
+
+Reproduces SEQTrainer._forward (reference reid/train/trainer.py:107-170):
+
+1. frame-level OIM on the correlated stream, targets tiled over time;
+2. Siamese attention pooling -> video-level OIM + soft batch-hard triplet
+   on the pooled correlated features;
+3. verification: softmax of the pairwise scores' class-1 probability ->
+   pair BCE, weighted x20 (trainer.py:165);
+4. uncorrelated stream -> SiameseVideo head -> video-level OIM;
+   total = (1) + (2) + (3) + (4).
+
+The frame and video OIM losses share one lookup table (the reference passes
+the same ``criterion_corr`` to both, trainer.py:126,138); lut updates are
+applied after the gradient in reverse forward order — video features first,
+then frame features — matching torch autograd's reverse-order backward
+execution of the two stateful OIM Functions.
+
+Everything (forward, backward, optimizer, lut updates, BN state advance) is
+one jitted function of explicit state — under a device mesh the same
+function is pjit-sharded over the pair axis of the batch.
+
+Documented divergence: params the loss never reaches (Siamese.featV, the
+uncorrelated verification classifier) keep ``grad=None`` in torch and are
+skipped by its SGD entirely; here they receive zero gradient and uniform
+weight decay. Neither affects any model output or evaluation result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses
+
+
+def top1_accuracy(logits, targets):
+    return jnp.mean(jnp.argmax(logits, axis=-1) == targets)
+
+
+def init_train_state(rng, cnn, siamese, siamese_uncorr, num_classes, num_feat=2048,
+                     optimizer=None):
+    """Build the full training-state pytree."""
+    from .optim import SGD, lr_mult_tree
+
+    r1, r2, r3 = jax.random.split(rng, 3)
+    cnn_p, cnn_s = cnn.init(r1)
+    sia_p, sia_s = siamese.init(r2)
+    unc_p, unc_s = siamese_uncorr.init(r3)
+    params = {"cnn": cnn_p, "siamese": sia_p, "siamese_uncorr": unc_p}
+    model_state = {"cnn": cnn_s, "siamese": sia_s, "siamese_uncorr": unc_s}
+    luts = {
+        "corr": losses.init_lut(num_classes, num_feat),
+        "uncorr": losses.init_lut(num_classes, num_feat),
+    }
+    optimizer = optimizer if optimizer is not None else SGD()
+    # backbone (GCE incl. trunk) at lr_mult 1, everything new at 2
+    # (mars_train.py:98-103).
+    mults = lr_mult_tree(params, {"cnn/backbone": 1.0}, default=2.0)
+    return {
+        "params": params,
+        "model_state": model_state,
+        "luts": luts,
+        "opt": optimizer.init(params),
+        "lr_mults": mults,
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def grl_loss_fn(params, model_state, luts, clips, targets, *, cnn, siamese,
+                siamese_uncorr, oim_scalar=30.0, verif_weight=20.0):
+    """Returns (total_loss, aux) with aux carrying new model state, the
+    features needed for lut updates, and scalar metrics."""
+    b, t = clips.shape[0], clips.shape[1]
+    ns = {}
+    (x_uncorr, x_corr), ns["cnn"] = cnn.apply(
+        params["cnn"], model_state["cnn"], clips, training=True
+    )
+
+    # (1) frame-level OIM on the correlated stream
+    frame_corr = x_corr.reshape(b * t, -1)
+    frame_targets = jnp.repeat(targets, t)
+    frame_logits = losses.oim_logits(frame_corr, luts["corr"], oim_scalar)
+    corr_id_loss_frame = losses.cross_entropy(frame_logits, frame_targets)
+
+    # pair-interleaved verification targets (trainer.py:130-135)
+    tar_probe = targets[0::2]
+    tar_gallery = targets[1::2]
+    target = jnp.concatenate([tar_probe, tar_gallery])
+
+    # (2) video-level: Siamese pooling -> OIM + triplet
+    (encode_scores, siamese_out), ns["siamese"] = siamese.apply(
+        params["siamese"], model_state["siamese"], x_corr, training=True
+    )
+    vid_logits = losses.oim_logits(siamese_out, luts["corr"], oim_scalar)
+    corr_id_loss_vid = losses.cross_entropy(vid_logits, target)
+    corr_loss_tri = jnp.mean(losses.TripletLoss("soft", True)(siamese_out, target))
+
+    # (3) verification BCE over softmaxed class-1 probabilities
+    probs = jax.nn.softmax(encode_scores, axis=-1)[:, :, 1]
+    corr_loss_ver, corr_prec_ver = losses.pair_loss(probs, tar_probe, tar_gallery)
+
+    # (4) uncorrelated stream video OIM (verification loss computed but
+    # excluded from the total in the reference, trainer.py:162,166)
+    (_unc_scores, unc_out), ns["siamese_uncorr"] = siamese_uncorr.apply(
+        params["siamese_uncorr"], model_state["siamese_uncorr"], x_uncorr, training=True
+    )
+    unc_logits = losses.oim_logits(unc_out, luts["uncorr"], oim_scalar)
+    uncorr_id_loss_vid = losses.cross_entropy(unc_logits, target)
+
+    total = (
+        corr_id_loss_frame
+        + corr_id_loss_vid
+        + verif_weight * corr_loss_ver
+        + corr_loss_tri
+        + uncorr_id_loss_vid
+    )
+
+    aux = {
+        "model_state": ns,
+        "lut_features": {
+            "corr_vid": (jax.lax.stop_gradient(siamese_out), target),
+            "corr_frame": (jax.lax.stop_gradient(frame_corr), frame_targets),
+            "uncorr_vid": (jax.lax.stop_gradient(unc_out), target),
+        },
+        "metrics": {
+            "loss": total,
+            "loss_frame_oim": corr_id_loss_frame,
+            "loss_vid_oim": corr_id_loss_vid,
+            "loss_verif": corr_loss_ver,
+            "loss_triplet": corr_loss_tri,
+            "loss_uncorr_oim": uncorr_id_loss_vid,
+            "prec_frame": top1_accuracy(frame_logits, frame_targets),
+            "prec_vid": top1_accuracy(vid_logits, target),
+            "prec_uncorr": top1_accuracy(unc_logits, target),
+            "prec_verif": corr_prec_ver,
+        },
+    }
+    return total, aux
+
+
+def make_train_step(cnn, siamese, siamese_uncorr, optimizer, *, oim_scalar=30.0,
+                    oim_momentum=0.5, verif_weight=20.0, donate=True):
+    """Build the jitted train step: (train_state, clips, targets, lr) ->
+    (train_state, metrics)."""
+
+    loss_fn = partial(
+        grl_loss_fn,
+        cnn=cnn,
+        siamese=siamese,
+        siamese_uncorr=siamese_uncorr,
+        oim_scalar=oim_scalar,
+        verif_weight=verif_weight,
+    )
+
+    def step(train_state, clips, targets, lr):
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train_state["params"],
+            train_state["model_state"],
+            train_state["luts"],
+            clips,
+            targets,
+        )
+        params, opt_state = optimizer.update(
+            train_state["params"], grads, train_state["opt"], lr, train_state["lr_mults"]
+        )
+        # lut updates in torch-backward order (video before frame)
+        feats = aux["lut_features"]
+        corr = losses.update_lut(train_state["luts"]["corr"], *feats["corr_vid"], oim_momentum)
+        corr = losses.update_lut(corr, *feats["corr_frame"], oim_momentum)
+        uncorr = losses.update_lut(train_state["luts"]["uncorr"], *feats["uncorr_vid"], oim_momentum)
+
+        new_state = {
+            "params": params,
+            "model_state": aux["model_state"],
+            "luts": {"corr": corr, "uncorr": uncorr},
+            "opt": opt_state,
+            "lr_mults": train_state["lr_mults"],
+            "step": train_state["step"] + 1,
+        }
+        return new_state, aux["metrics"]
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

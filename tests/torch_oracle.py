@@ -15,6 +15,8 @@ import torch.nn.functional as F
 
 
 def T(a):
+    if isinstance(a, torch.Tensor):
+        return a
     return torch.from_numpy(np.asarray(a).copy())
 
 
@@ -140,6 +142,17 @@ def siamese_attention(p, s, x, training):
     k = unit(bn(p["featK_bn"], s["featK_bn"], linear(p["featK"], x.reshape(b * t, c)), training)).reshape(b, t, -1)
     w = torch.softmax(q @ k.transpose(-1, -2), dim=-1)
     return unit((w @ x).sum(dim=1))
+
+
+def siamese_video(p, s, x, training):
+    """x (b, C) interleaved pairs -> (scores (b/2, b/2, 2), out (b, C))."""
+    half = x.shape[0] // 2
+    pairs = x.reshape(half, 2, -1)
+    pp, pg = pairs[:, 0], pairs[:, 1]
+    out = torch.cat([pp, pg])
+    diff = (pp[:, None] - pg[None, :]).pow(2).reshape(half * half, -1)
+    scores = linear(p["classifierlinear"], bn(p["classifierBN"], s["classifierBN"], diff, training))
+    return scores.reshape(half, half, 2), out
 
 
 def siamese(p, s, x, training):
