@@ -1,0 +1,84 @@
+"""Headline benchmark: MARS dense-eval clip-descriptor throughput per chip.
+
+Measures the hot path of the evaluation stack (BASELINE.json north star:
+"MARS clip features/sec/chip"): full-size ResNet-50 + GCE + TRL + attention
+pooling producing the 6144-d descriptor for 8-frame 256x128 clips, bf16
+compute, on the attached TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md: "none
+recorded"), so ``vs_baseline`` is the ratio against a fixed nominal anchor
+of 100 clips/s — an order-of-magnitude estimate of the reference's
+single-GPU dense-eval rate — kept constant across rounds so the series is
+comparable.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_ANCHOR_CLIPS_PER_SEC = 100.0
+MICRO_BATCH = 32
+SEQ_LEN = 8
+H, W = 256, 128
+
+
+def main():
+    from grl_tpu import models
+    from grl_tpu.data.transforms import normalize
+
+    cnn = models.create("resnet50_grl", compute_dtype=jnp.bfloat16)
+    siamese = models.create(
+        "siamese", input_num=cnn.num_feat, output_num=512, compute_dtype=jnp.bfloat16
+    )
+    rng = jax.random.PRNGKey(0)
+    params, state = cnn.init(rng)
+    sp, ss = siamese.init(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def describe(params, state, sp, ss, clips_u8):
+        clips = normalize(clips_u8)
+        (x_uncorr, x_corr), _ = cnn.apply(params, state, clips, training=False)
+        pooled, _ = siamese.self_attention(sp, ss, x_corr, training=False)
+        return jnp.concatenate([x_uncorr, pooled, jnp.mean(x_corr, axis=1)], axis=1)
+
+    clips = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (MICRO_BATCH, SEQ_LEN, H, W, 3), np.uint8)
+    )
+
+    # NOTE: on the axon-tunneled TPU, block_until_ready() returns before the
+    # device finishes; only a host materialization truly synchronizes. Each
+    # timing window therefore chains the outputs into one scalar and fetches
+    # it with float().
+    def timed(iters):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for _ in range(iters):
+            acc = acc + jnp.sum(describe(params, state, sp, ss, clips))
+        float(acc)
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warmup
+    timed(2)  # spin up steady-state clocks
+    dt = timed(10)
+
+    clips_per_sec = MICRO_BATCH * 10 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mars_clip_features_per_sec_per_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(clips_per_sec / REF_ANCHOR_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

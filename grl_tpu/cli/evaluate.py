@@ -1,0 +1,92 @@
+"""Standalone evaluation entry — the reference's ``test_all.py`` intent.
+
+``python -m grl_tpu.cli.evaluate -d mars --data-dir ... --logs-dir ...``
+
+The reference test_all.py is broken as shipped (defines ``--a1/--a2`` but
+reads ``args.arch1/arch2``, references ``args.logs_dir1``/``args.visul``,
+test_all.py:76-91,113-157); this exposes the intended behavior — load the
+best checkpoint, dense-sample every tracklet, report CMC/mAP — with a
+coherent flag set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+
+import jax
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..data import get_data
+from ..engine.evaluator import Evaluator
+from ..engine.optim import SGD
+from ..engine.train_step import init_train_state
+from ..utils import Logger
+from ..utils.serialization import load_train_state
+from .train import build_models, state_to_device
+
+
+def main(args):
+    run = 0
+    while osp.exists(osp.join(args.logs_dir, f"log_test{run}.txt")):
+        run += 1
+    sys.stdout = Logger(osp.join(args.logs_dir, f"log_test{run}.txt"))
+    print(f"==========\nArgs:{args}\n==========")
+
+    dataset, num_classes, _train_loader, query_loader, gallery_loader = get_data(
+        args.dataset,
+        args.data_dir,
+        args.batch_size,
+        args.seq_len,
+        args.seq_srd,
+        args.workers,
+        only_eval=True,
+        split_id=args.split,
+        dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
+    )
+
+    cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
+    template = init_train_state(
+        jax.random.PRNGKey(args.seed), cnn, siamese, siamese_uncorr,
+        num_classes, num_feat=cnn.num_feat, optimizer=SGD(),
+    )
+    state, _ = load_train_state(
+        template, args.checkpoint or osp.join(args.logs_dir, "checkpoint_best.npz")
+    )
+    state = state_to_device(state)
+
+    evaluator = Evaluator(cnn, siamese, only_eval=True, rerank=bool(args.rerank))
+    top1 = evaluator.evaluate(state["params"], state["model_state"], query_loader, gallery_loader)
+    print("rank-1 accuracy is", top1)
+    return top1
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="GRL-TPU evaluation")
+    parser.add_argument("-d", "--dataset", type=str, default="mars",
+                        choices=["ilidsvidsequence", "prid2011sequence", "mars", "duke", "synthetic"])
+    parser.add_argument("-b", "--batch-size", type=int, default=1)
+    parser.add_argument("-j", "--workers", type=int, default=8)
+    parser.add_argument("--seq_len", type=int, default=8)
+    parser.add_argument("--seq_srd", type=int, default=4)
+    parser.add_argument("--split", type=int, default=0)
+    parser.add_argument("--arch1", type=str, default="resnet50_grl")
+    parser.add_argument("--arch2", type=str, default="siamese")
+    parser.add_argument("--features", type=int, default=2048)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--rerank", type=int, default=0)
+    parser.add_argument("--visual", type=int, default=0)
+    parser.add_argument("--data-dir", type=str, metavar="PATH", default="")
+    parser.add_argument("--logs-dir", type=str, metavar="PATH", default="log/grl")
+    parser.add_argument("--checkpoint", type=str, default="")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--tiny", action="store_true")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,194 @@
+"""Training entry point — the reference's ``mars_train.py`` surface.
+
+``python -m grl_tpu.cli.train -d mars --data-dir /path/to/MARS ...``
+
+Flags mirror mars_train.py:146-204 (same names and defaults) with fixes
+for its known bugs: dataset roots come from ``--data-dir`` (not hardcoded),
+checkpoints capture the full train state (params, BN stats, OIM luts,
+optimizer, epoch), and ``--dataset synthetic`` runs the whole stack with no
+data on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import models
+from ..data import get_data
+from ..engine.evaluator import Evaluator
+from ..engine.optim import SGD, step_decay_lr
+from ..engine.train_step import init_train_state, make_train_step
+from ..engine.trainer import Trainer
+from ..utils import Logger, ScalarWriter, mkdir_if_missing
+from ..utils.serialization import load_train_state, save_train_state
+
+
+def build_models(args, tiny=False):
+    cd = jnp.bfloat16 if args.bf16 else None
+    if tiny:
+        trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4, compute_dtype=cd)
+    else:
+        trunk = models.resnet50_trunk(last_stride=1, compute_dtype=cd)
+    cnn = models.GRLModel(trunk=trunk, compute_dtype=cd)
+    siamese = models.Siamese(input_num=cnn.num_feat, output_num=512, class_num=2, compute_dtype=cd)
+    siamese_uncorr = models.SiameseVideo(input_num=cnn.num_feat, compute_dtype=cd)
+    return cnn, siamese, siamese_uncorr
+
+
+def state_to_numpy(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def state_to_device(tree):
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def main(args):
+    np.random.seed(args.seed)
+    mkdir_if_missing(args.logs_dir)
+
+    run = 0
+    tag = "test" if args.evaluate else "train"
+    while osp.exists(osp.join(args.logs_dir, f"log_{tag}{run}.txt")):
+        run += 1
+    sys.stdout = Logger(osp.join(args.logs_dir, f"log_{tag}{run}.txt"))
+    print(f"==========\nArgs:{args}\n==========")
+    print(f"devices: {jax.devices()}")
+
+    dataset, num_classes, train_loader, query_loader, gallery_loader = get_data(
+        args.dataset,
+        args.data_dir,
+        args.batch_size,
+        args.seq_len,
+        args.seq_srd,
+        args.workers,
+        only_eval=bool(args.evaluate),
+        split_id=args.split,
+        dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
+    )
+
+    cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
+    optimizer = SGD(momentum=args.momentum, weight_decay=args.weight_decay, nesterov=True)
+    train_state = init_train_state(
+        jax.random.PRNGKey(args.seed), cnn, siamese, siamese_uncorr,
+        num_classes, num_feat=cnn.num_feat, optimizer=optimizer,
+    )
+
+    if args.pretrained_trunk:
+        from ..utils.convert_torch import load_imagenet_resnet50
+
+        flat = dict(np.load(args.pretrained_trunk))
+        p = train_state["params"]["cnn"]["backbone"]["base"]
+        s = train_state["model_state"]["cnn"]["backbone"]["base"]
+        new_p, new_s = load_imagenet_resnet50(state_to_numpy(p), state_to_numpy(s), flat)
+        train_state["params"]["cnn"]["backbone"]["base"] = state_to_device(new_p)
+        train_state["model_state"]["cnn"]["backbone"]["base"] = state_to_device(new_s)
+        print(f"loaded ImageNet trunk from {args.pretrained_trunk}")
+
+    ckpt_path = osp.join(args.logs_dir, "checkpoint.npz")
+    best_path = "checkpoint_best.npz"
+    if args.resume:
+        train_state, extras = load_train_state(train_state, args.resume)
+        train_state = state_to_device(train_state)
+        start_epoch = int(extras["epoch"])
+        best_top1 = float(extras["best_top1"])
+        print(f"resumed from {args.resume} at epoch {start_epoch} (best {best_top1:.1%})")
+    else:
+        start_epoch, best_top1 = args.start_epoch, 0.0
+
+    evaluator = Evaluator(cnn, siamese, only_eval=bool(args.evaluate), rerank=bool(args.rerank))
+
+    if args.evaluate:
+        train_state, _ = load_train_state(train_state, osp.join(args.logs_dir, best_path))
+        train_state = state_to_device(train_state)
+        top1 = evaluator.evaluate(
+            train_state["params"], train_state["model_state"], query_loader, gallery_loader
+        )
+        print("best rank-1 accuracy is", top1)
+        return top1
+
+    writer = ScalarWriter(osp.join(args.logs_dir, "train_log"))
+    step_fn = make_train_step(
+        cnn, siamese, siamese_uncorr, optimizer,
+        oim_scalar=args.oim_scalar, oim_momentum=args.oim_momentum,
+    )
+    trainer = Trainer(step_fn, writer, seed=args.seed)
+
+    for epoch in range(start_epoch, args.epochs):
+        lr = step_decay_lr(args.lr, epoch, args.lr_step)
+        print(lr)
+        train_state, stats = trainer.train(epoch, train_state, train_loader, lr)
+        print(
+            f"epoch {epoch}: loss {stats['loss']:.3f} "
+            f"batch {stats['batch_time']:.3f}s data {stats['data_time']:.3f}s"
+        )
+
+        do_eval = (epoch + 1) % 5 == 0 or (epoch + 1) == args.epochs or (
+            (epoch + 1) > 30 and (epoch + 1) % 3 == 0
+        )
+        if do_eval:
+            top1 = evaluator.evaluate(
+                train_state["params"], train_state["model_state"], query_loader, gallery_loader
+            )
+            is_best = top1 > best_top1
+            best_top1 = max(top1, best_top1)
+            save_train_state(
+                state_to_numpy(train_state),
+                {"epoch": epoch + 1, "best_top1": best_top1},
+                ckpt_path, is_best=is_best, best_name=best_path,
+            )
+    writer.close()
+    return best_top1
+
+
+def build_parser():
+    working_dir = os.getcwd()
+    parser = argparse.ArgumentParser(description="GRL-TPU training")
+    parser.add_argument("-d", "--dataset", type=str, default="mars",
+                        choices=["ilidsvidsequence", "prid2011sequence", "mars", "duke", "synthetic"])
+    parser.add_argument("-b", "--batch-size", type=int, default=16)
+    parser.add_argument("-j", "--workers", type=int, default=8)
+    parser.add_argument("--seq_len", type=int, default=8)
+    parser.add_argument("--seq_srd", type=int, default=4)
+    parser.add_argument("--split", type=int, default=0)
+    parser.add_argument("--arch1", type=str, default="resnet50_grl",
+                        choices=["resnet50_grl", "resnet50"])
+    parser.add_argument("--features", type=int, default=2048)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--arch2", type=str, default="siamese")
+    parser.add_argument("--loss", type=str, default="oim", choices=["xentropy", "oim", "triplet"])
+    parser.add_argument("--oim-scalar", type=float, default=30)
+    parser.add_argument("--oim-momentum", type=float, default=0.5)
+    parser.add_argument("--sampling-rate", type=int, default=3)
+    parser.add_argument("--sample_method", type=str, default="rrs")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--lr_step", type=float, default=15)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--weight-decay", type=float, default=5e-4)
+    parser.add_argument("--start-epoch", type=int, default=0)
+    parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("--evaluate", type=int, default=0)
+    parser.add_argument("--visual", type=int, default=0)
+    parser.add_argument("--rerank", type=int, default=0)
+    parser.add_argument("--data-dir", type=str, metavar="PATH", default="")
+    parser.add_argument("--logs-dir", type=str, metavar="PATH",
+                        default=osp.join(working_dir, "log/grl"))
+    # new, TPU-native options
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--tiny", action="store_true", help="tiny trunk (smoke tests)")
+    parser.add_argument("--resume", type=str, default="", help="checkpoint to resume from")
+    parser.add_argument("--pretrained-trunk", type=str, default="",
+                        help=".npz of torchvision ImageNet resnet50 weights")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

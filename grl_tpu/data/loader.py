@@ -1,0 +1,245 @@
+"""Host-side clip pipeline: decode -> resize -> batch, with prefetch.
+
+Replaces torch ``DataLoader`` + worker processes (reference
+reid/data/dataloader.py, video_loader.py) with a thread-pool decode stage
+and a one-batch-ahead prefetch thread: JPEG decode and the RectScale resize
+(seqtransforms.py:30-49) happen on host; all randomized augmentation runs
+on-device (see transforms.augment), so batches leave here as uint8 —
+4x less host->device traffic than the reference's normalized float tensors.
+
+Tracklet frames may be path tuples (decoded via PIL) or uint8 arrays
+(synthetic / pre-decoded), transparently.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .sampling import (
+    RandomPairSampler,
+    dense_indices,
+    random_window_indices,
+    rrs_test_indices,
+    rrs_train_indices,
+)
+
+
+def _decode_frame(source, index, height, width):
+    if isinstance(source, np.ndarray):
+        frame = source[index]
+        if frame.shape[0] != height or frame.shape[1] != width:
+            from PIL import Image
+
+            frame = np.asarray(
+                Image.fromarray(frame).resize((width, height), Image.BILINEAR)
+            )
+        return frame
+    from PIL import Image
+
+    with Image.open(source[index]) as img:
+        img = img.convert("RGB")
+        if img.size != (width, height):
+            img = img.resize((width, height), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+
+def _num_frames(source):
+    return source.shape[0] if isinstance(source, np.ndarray) else len(source)
+
+
+class ClipDataset:
+    """Catalog + sampling mode -> per-index uint8 clip arrays.
+
+    sample modes (reference video_loader.py:52-155): 'rrs_train',
+    'rrs_test', 'dense', 'random'.
+    """
+
+    def __init__(self, tracklets, seq_len=8, sample="rrs_train", height=256, width=128, seed=0):
+        self.tracklets = tracklets
+        self.seq_len = seq_len
+        self.sample = sample
+        self.height = height
+        self.width = width
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.tracklets)
+
+    def get(self, index):
+        source, pid, camid = self.tracklets[index]
+        n = _num_frames(source)
+        if self.sample == "rrs_train":
+            idx = rrs_train_indices(n, self.seq_len, self.rng)
+        elif self.sample == "rrs_test":
+            idx = rrs_test_indices(n, self.seq_len)
+        elif self.sample == "random":
+            idx = random_window_indices(n, self.seq_len, self.rng)
+        elif self.sample == "dense":
+            grid = dense_indices(n, self.seq_len)
+            clips = np.stack(
+                [
+                    np.stack([_decode_frame(source, int(i), self.height, self.width) for i in row])
+                    for row in grid
+                ]
+            )
+            return clips, pid, camid
+        else:
+            raise KeyError(f"Unknown sample method: {self.sample}")
+        clip = np.stack(
+            [_decode_frame(source, int(i), self.height, self.width) for i in idx]
+        )
+        return clip, pid, camid
+
+
+class ClipLoader:
+    """Batched iterator with threaded decode and one-batch prefetch.
+
+    Yields ``(clips uint8 (b, S, h, w, 3), pids (b,), camids (b,))``;
+    with ``sample='dense'`` batch_size must be 1 and clips are
+    ``(n_clips, S, h, w, 3)``.
+    """
+
+    def __init__(
+        self,
+        dataset: ClipDataset,
+        batch_size=16,
+        sampler=None,
+        shuffle=False,
+        drop_last=False,
+        workers=4,
+        prefetch=2,
+        seed=0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.workers = max(workers, 1)
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+        if dataset.sample == "dense" and batch_size != 1:
+            raise ValueError("dense sampling requires batch_size=1")
+
+    def _indices(self):
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def __len__(self):
+        n = len(self._indices()) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        indices = self._indices()
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                for batch in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self.dataset.get, batch))
+                    if self.dataset.sample == "dense":
+                        clips = items[0][0]
+                    else:
+                        clips = np.stack([c for c, _, _ in items])
+                    pids = np.asarray([p for _, p, _ in items], np.int32)
+                    cams = np.asarray([c for _, _, c in items], np.int32)
+                    q.put((clips, pids, cams))
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def get_data(
+    name,
+    root=None,
+    batch_size=16,
+    seq_len=8,
+    seq_srd=4,
+    workers=4,
+    only_eval=False,
+    split_id=0,
+    height=256,
+    width=128,
+    eval_batch=30,
+    seed=0,
+    dataset_kwargs=None,
+):
+    """Build (dataset, num_classes, train_loader, query_loader, gallery_loader)
+    — the reference's get_data surface (reid/data/dataloader.py:12-81)."""
+    from .catalogs import get_sequence
+
+    kwargs = dict(dataset_kwargs or {})
+    if name in ("ilidsvidsequence", "prid2011sequence"):
+        dataset = get_sequence(name, root, split_id=split_id, seq_len=seq_len, seq_srd=seq_srd, **kwargs)
+        train_list = dataset.trainval
+        num_classes = dataset.num_trainval_ids
+    elif name == "synthetic":
+        dataset = get_sequence(name, **kwargs)
+        train_list = dataset.train
+        num_classes = dataset.num_train_pids
+        height, width = dataset.height, dataset.width
+    else:
+        dataset = get_sequence(name, root, **kwargs)
+        train_list = dataset.train
+        num_classes = dataset.num_train_pids
+
+    if only_eval:
+        train_loader = None
+    else:
+        if batch_size % 2 != 0:
+            raise ValueError("train batch_size must be even (anchor/positive pairs)")
+        train_set = ClipDataset(train_list, seq_len, "rrs_train", height, width, seed=seed)
+        train_loader = ClipLoader(
+            train_set,
+            batch_size=batch_size,
+            sampler=RandomPairSampler(train_list, seed=seed),
+            drop_last=True,
+            workers=workers,
+        )
+
+    eval_sample = "dense" if only_eval else "rrs_test"
+    eval_bs = 1 if only_eval else eval_batch
+    query_loader = ClipLoader(
+        ClipDataset(dataset.query, seq_len, eval_sample, height, width),
+        batch_size=eval_bs,
+        workers=workers,
+    )
+    gallery_loader = ClipLoader(
+        ClipDataset(dataset.gallery, seq_len, eval_sample, height, width),
+        batch_size=eval_bs,
+        workers=workers,
+    )
+    return dataset, num_classes, train_loader, query_loader, gallery_loader

@@ -1,0 +1,133 @@
+"""Retrieval evaluator: descriptor extraction + cosine ranking + CMC/mAP.
+
+Reproduces ATTEvaluator (reference reid/evaluator/attevaluator.py:49-163):
+
+- descriptor per clip = concat(x_uncorr, attention-pooled x_corr, temporal
+  mean of x_corr) -> 3*C dims (6144 for ResNet-50, attevaluator.py:79-80);
+- dense path: every consecutive clip of a tracklet is described and the
+  descriptors averaged (micro-batched by 8, attevaluator.py:72-87);
+- rrs_test path: one RRS clip per tracklet, batch 30;
+- gallery := query ∪ gallery (attevaluator.py:143-145), cosine distance
+  ``-qf @ gfᵀ`` (:44-46), optional k-reciprocal re-ranking, MARS-protocol
+  CMC/mAP report.
+
+TPU-first: the descriptor function is one jitted program at a fixed
+micro-batch shape (padded + masked, so ragged dense tracklets never force
+recompilation); the distance matrix is a single device matmul that pjit
+shards over gallery columns on a mesh.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import normalize
+from . import metrics
+from .rerank import re_ranking as _re_ranking
+
+
+def cosine_distance(qf, gf):
+    """Negative cosine similarity (features are L2-normalized)."""
+    return -jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
+
+
+class Evaluator:
+    def __init__(self, cnn, siamese, only_eval=False, micro_batch=8, rerank=False):
+        self.cnn = cnn
+        self.siamese = siamese
+        self.only_eval = only_eval
+        self.micro_batch = micro_batch
+        self.rerank = rerank
+        self._descriptor_fn = None
+
+    # -- descriptor ------------------------------------------------------
+
+    def _build_descriptor(self):
+        cnn, siamese = self.cnn, self.siamese
+
+        def describe(cnn_params, cnn_state, sia_params, sia_state, clips_u8):
+            clips = normalize(clips_u8)
+            (x_uncorr, x_corr), _ = cnn.apply(cnn_params, cnn_state, clips, training=False)
+            pooled, _ = siamese.self_attention(sia_params, sia_state, x_corr, training=False)
+            return jnp.concatenate([x_uncorr, pooled, jnp.mean(x_corr, axis=1)], axis=1)
+
+        return jax.jit(describe)
+
+    def describe_clips(self, params, state, clips_u8):
+        """(n, S, h, w, 3) uint8 -> (n, 3C) descriptors, fixed-shape chunks."""
+        if self._descriptor_fn is None:
+            self._descriptor_fn = self._build_descriptor()
+        n = clips_u8.shape[0]
+        mb = self.micro_batch
+        outs = []
+        for i in range(0, n, mb):
+            chunk = clips_u8[i : i + mb]
+            pad = mb - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            d = self._descriptor_fn(
+                params["cnn"], state["cnn"], params["siamese"], state["siamese"], jnp.asarray(chunk)
+            )
+            outs.append(np.asarray(d[: mb - pad if pad else mb]))
+        return np.concatenate(outs, axis=0)
+
+    def extract_features(self, params, state, loader):
+        """Loader -> (features (N, 3C), pids, camids); dense tracklets are
+        clip-averaged (attevaluator.py:84,95)."""
+        feats, pids, camids = [], [], []
+        for clips, pid, camid in loader:
+            if loader.dataset.sample == "dense":
+                d = self.describe_clips(params, state, clips)
+                feats.append(d.mean(axis=0, keepdims=True))
+            else:
+                d = self.describe_clips(params, state, clips)
+                feats.append(d)
+            pids.extend(np.atleast_1d(pid).tolist())
+            camids.extend(np.atleast_1d(camid).tolist())
+        return np.concatenate(feats, axis=0), np.asarray(pids), np.asarray(camids)
+
+    # -- full protocol ---------------------------------------------------
+
+    def evaluate(self, params, state, query_loader, gallery_loader, cmc_topk=(1, 5, 10, 20)):
+        t0 = time.time()
+        qf, q_pids, q_camids = self.extract_features(params, state, query_loader)
+        print(f"Done, obtained {qf.shape[0]}-by-{qf.shape[1]} matrix")
+        gf, g_pids, g_camids = self.extract_features(params, state, gallery_loader)
+        # gallery includes the queries (attevaluator.py:143-145)
+        gf = np.concatenate([qf, gf], axis=0)
+        g_pids = np.append(q_pids, g_pids)
+        g_camids = np.append(q_camids, g_camids)
+        print(f"Done, obtained {gf.shape[0]}-by-{gf.shape[1]} matrix")
+
+        print("Computing distance matrix")
+        distmat = np.asarray(cosine_distance(jnp.asarray(qf), jnp.asarray(gf)))
+        if self.rerank:
+            print("Applying person re-ranking ...")
+            qq = np.asarray(_euclidean(qf, qf))
+            gg = np.asarray(_euclidean(gf, gf))
+            distmat = _re_ranking(distmat, qq, gg)
+
+        cmc_curve, mAP = metrics.evaluate(distmat, q_pids, g_pids, q_camids, g_camids)
+        print("Mean AP: {:4.1%}".format(mAP))
+        for r in cmc_topk:
+            if r <= len(cmc_curve):
+                print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
+        print("------------------")
+        print(f"(evaluation took {time.time() - t0:.1f}s)")
+        return float(cmc_curve[0])
+
+
+def _euclidean(a, b):
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    sq = (
+        jnp.sum(a * a, axis=1)[:, None]
+        - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        + jnp.sum(b * b, axis=1)[None, :]
+    )
+    return jnp.sqrt(jnp.maximum(sq, 1e-12))

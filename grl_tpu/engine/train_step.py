@@ -98,9 +98,11 @@ def grl_loss_fn(params, model_state, luts, clips, targets, *, cnn, siamese,
     corr_id_loss_vid = losses.cross_entropy(vid_logits, target)
     corr_loss_tri = jnp.mean(losses.TripletLoss("soft", True)(siamese_out, target))
 
-    # (3) verification BCE over softmaxed class-1 probabilities
-    probs = jax.nn.softmax(encode_scores, axis=-1)[:, :, 1]
-    corr_loss_ver, corr_prec_ver = losses.pair_loss(probs, tar_probe, tar_gallery)
+    # (3) verification BCE == 2-class cross-entropy of the raw scores
+    # (stable log_softmax form; see losses.pair_loss_from_logits)
+    corr_loss_ver, corr_prec_ver = losses.pair_loss_from_logits(
+        encode_scores, tar_probe, tar_gallery
+    )
 
     # (4) uncorrelated stream video OIM (verification loss computed but
     # excluded from the total in the reference, trainer.py:162,166)

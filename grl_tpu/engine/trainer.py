@@ -1,0 +1,84 @@
+"""Epoch-level training orchestration (reference reid/train/trainer.py).
+
+Hosts the loader loop around the jitted train step: device transfer,
+on-device augmentation with a per-step PRNG, meters, periodic console
+prints (every 100 steps, trainer.py:68-78), and per-step scalar logging
+(trainer.py:63-65, JSONL instead of tensorboardX).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..data.transforms import augment
+from ..utils.meters import AverageMeter
+
+
+class Trainer:
+    def __init__(self, train_step, scalar_writer=None, print_freq=100, seed=0):
+        self.train_step = train_step
+        self.writer = scalar_writer
+        self.print_freq = print_freq
+        self.rng = jax.random.PRNGKey(seed)
+
+    def train(self, epoch, train_state, loader, lr):
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        losses = AverageMeter()
+        prec_uncorr = AverageMeter()
+        prec_vid = AverageMeter()
+        prec_frame = AverageMeter()
+
+        num_steps = len(loader)
+        end = time.time()
+        for i, (clips_u8, pids, _camids) in enumerate(loader):
+            data_time.update(time.time() - end)
+
+            self.rng, aug_rng = jax.random.split(self.rng)
+            clips = augment(aug_rng, jnp.asarray(clips_u8), train=True)
+            targets = jnp.asarray(pids)
+
+            train_state, m = self.train_step(train_state, clips, targets, lr)
+
+            loss = float(m["loss"])
+            n = pids.shape[0]
+            losses.update(loss, n)
+            prec_uncorr.update(float(m["prec_uncorr"]), n)
+            prec_vid.update(float(m["prec_vid"]), n)
+            prec_frame.update(float(m["prec_frame"]), n)
+
+            batch_time.update(time.time() - end)
+            end = time.time()
+
+            step = num_steps * epoch + i
+            if self.writer is not None:
+                self.writer.add_scalar("train/total_loss_step", losses.val, step)
+                self.writer.add_scalar("train/total_loss_avg", losses.avg, step)
+
+            if (i + 1) % self.print_freq == 0:
+                print(
+                    "Epoch: [{}][{}/{}]\t"
+                    "Loss {:.3f} ({:.3f})\t"
+                    "uncorr_vid {:.2%} ({:.2%})\t"
+                    "corr_vid {:.2%} ({:.2%})\t"
+                    "corr_frame {:.2%} ({:.2%})\t".format(
+                        epoch, i + 1, num_steps,
+                        losses.val, losses.avg,
+                        prec_uncorr.val, prec_uncorr.avg,
+                        prec_vid.val, prec_vid.avg,
+                        prec_frame.val, prec_frame.avg,
+                    )
+                )
+        if self.writer is not None:
+            self.writer.flush()
+        return train_state, {
+            "loss": losses.avg,
+            "prec_uncorr": prec_uncorr.avg,
+            "prec_vid": prec_vid.avg,
+            "prec_frame": prec_frame.avg,
+            "batch_time": batch_time.avg,
+            "data_time": data_time.avg,
+        }

@@ -1,0 +1,67 @@
+"""Console/file tee logger + scalar metric writer.
+
+``Logger`` mirrors reference utils/logging.py:8-39 (stdout tee with flush
+to disk). ``ScalarWriter`` replaces tensorboardX (trainer.py:63-65) with a
+dependency-free JSONL scalar log that TensorBoard-style tooling or plain
+numpy can consume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import sys
+
+
+class Logger:
+    def __init__(self, fpath=None):
+        self.console = sys.stdout
+        self.file = None
+        if fpath is not None:
+            os.makedirs(osp.dirname(fpath) or ".", exist_ok=True)
+            self.file = open(fpath, "w")
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+    def write(self, msg):
+        self.console.write(msg)
+        if self.file is not None:
+            self.file.write(msg)
+
+    def flush(self):
+        self.console.flush()
+        if self.file is not None:
+            self.file.flush()
+            os.fsync(self.file.fileno())
+
+    def close(self):
+        self.console.flush()
+        if self.file is not None:
+            self.file.close()
+            self.file = None
+
+
+class ScalarWriter:
+    """Append-only JSONL scalar stream: one {tag, step, value} per line."""
+
+    def __init__(self, logdir):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = osp.join(logdir, "scalars.jsonl")
+        self._f = open(self.path, "a")
+
+    def add_scalar(self, tag, value, step):
+        self._f.write(json.dumps({"tag": tag, "step": int(step), "value": float(value)}) + "\n")
+
+    def flush(self):
+        self._f.flush()
+
+    def close(self):
+        self._f.close()

@@ -1,0 +1,119 @@
+"""JSON + checkpoint serialization utilities.
+
+JSON helpers mirror reference utils/serialization.py:9-22. Checkpoints go
+further than the reference (torch.save of model state_dicts only,
+:25-59): ``save_checkpoint`` captures the *entire* train state — params, BN
+running stats, OIM luts, optimizer state, counters — as a flat .npz, so a
+resumed run continues bit-for-bit (the reference silently rebuilds losses
+and optimizer from scratch; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import shutil
+
+import numpy as np
+
+
+def mkdir_if_missing(path):
+    os.makedirs(path, exist_ok=True)
+
+
+def read_json(fpath):
+    with open(fpath) as f:
+        return json.load(f)
+
+
+def write_json(obj, fpath):
+    mkdir_if_missing(osp.dirname(fpath) or ".")
+    with open(fpath, "w") as f:
+        json.dump(obj, f, indent=4, separators=(",", ": "))
+
+
+# -- pytree <-> flat npz ------------------------------------------------
+
+
+def flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}/{k}" if prefix else str(k)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat):
+    tree = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_checkpoint(state, fpath, is_best=False, best_name=None):
+    """Save a (nested-dict) state pytree plus scalars to ``fpath`` (.npz)."""
+    mkdir_if_missing(osp.dirname(fpath) or ".")
+    np.savez(fpath, **flatten_tree(state))
+    if is_best and best_name:
+        shutil.copy(fpath, osp.join(osp.dirname(fpath), best_name))
+
+
+def load_checkpoint(fpath):
+    if not osp.isfile(fpath):
+        raise ValueError(f"=> No checkpoint found at '{fpath}'")
+    with np.load(fpath, allow_pickle=False) as data:
+        return unflatten_tree({k: data[k] for k in data.files})
+
+
+# -- arbitrary-pytree checkpoints (train state incl. optax tuples) ------
+
+
+def save_train_state(train_state, extras, fpath, is_best=False, best_name=None):
+    """Checkpoint an arbitrary pytree (params / BN stats / OIM luts /
+    optimizer NamedTuples / counters) + scalar ``extras`` to one .npz."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(train_state)
+    payload = {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload["treedef"] = np.asarray(str(treedef))
+    for k, v in extras.items():
+        payload[f"extra_{k}"] = np.asarray(v)
+    mkdir_if_missing(osp.dirname(fpath) or ".")
+    np.savez(fpath, **payload)
+    if is_best and best_name:
+        shutil.copy(fpath, osp.join(osp.dirname(fpath), best_name))
+
+
+def load_train_state(template, fpath):
+    """Restore a checkpoint into the structure of ``template``.
+
+    Returns (train_state, extras). Structure mismatches fail loudly.
+    """
+    import jax
+
+    if not osp.isfile(fpath):
+        raise ValueError(f"=> No checkpoint found at '{fpath}'")
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    with np.load(fpath, allow_pickle=False) as data:
+        leaf_keys = sorted(k for k in data.files if k.startswith("leaf_"))
+        if len(leaf_keys) != len(t_leaves):
+            raise ValueError(
+                f"checkpoint has {len(leaf_keys)} leaves, template expects {len(t_leaves)}"
+            )
+        leaves = []
+        for k, t in zip(leaf_keys, t_leaves):
+            v = data[k]
+            if np.shape(t) != v.shape:
+                raise ValueError(f"shape mismatch at {k}: {np.shape(t)} vs {v.shape}")
+            leaves.append(v)
+        extras = {
+            k[len("extra_"):]: data[k] for k in data.files if k.startswith("extra_")
+        }
+    return jax.tree_util.tree_unflatten(treedef, leaves), extras

@@ -2,16 +2,18 @@
 
 Multi-chip sharding is exercised on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=8``) — the standard way JAX
-codebases test SPMD without a real pod. Must run before jax imports.
+codebases test SPMD without a real pod. The axon TPU plugin ignores the
+``JAX_PLATFORMS`` env var, so the platform must be forced through
+``jax.config`` before any backend is initialized.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

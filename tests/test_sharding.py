@@ -1,0 +1,89 @@
+"""SPMD tests on the virtual 8-device CPU mesh: data-parallel train step
+equivalence, sharded gallery distance, and the driver's multichip dryrun."""
+
+import importlib.util
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grl_tpu import models
+from grl_tpu.engine.optim import SGD
+from grl_tpu.engine.train_step import init_train_state, make_train_step
+from grl_tpu.parallel import (
+    data_mesh,
+    replicate,
+    shard_batch,
+    sharded_cosine_distance,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def tiny_models():
+    trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
+    cnn = models.GRLModel(trunk=trunk)
+    sia = models.Siamese(input_num=cnn.num_feat, output_num=16)
+    unc = models.SiameseVideo(input_num=cnn.num_feat)
+    return cnn, sia, unc
+
+
+def test_sharded_step_matches_single_device():
+    cnn, sia, unc = tiny_models()
+    opt = SGD()
+    ts = init_train_state(jax.random.PRNGKey(0), cnn, sia, unc, 4, cnn.num_feat, opt)
+    step = make_train_step(cnn, sia, unc, opt, donate=False)
+
+    rng = np.random.RandomState(0)
+    batch = 8  # 4 pairs over a 4-device mesh -> 1 pair per device
+    clips = rng.randn(batch, 2, 32, 16, 3).astype(np.float32)
+    pids = np.repeat(np.arange(batch // 2) % 4, 2).astype(np.int32)
+
+    # single device
+    ts1, m1 = step(ts, jnp.asarray(clips), jnp.asarray(pids), 1e-3)
+
+    # 4-device data parallel
+    mesh = data_mesh(4)
+    ts_r = replicate(ts, mesh)
+    clips_sh = shard_batch(jnp.asarray(clips), mesh)
+    pids_sh = shard_batch(jnp.asarray(pids), mesh)
+    ts2, m2 = step(ts_r, clips_sh, pids_sh, 1e-3)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    # updated parameters agree (SPMD == single-device semantics)
+    l1 = jax.tree.leaves(ts1["params"])
+    l2 = jax.tree.leaves(ts2["params"])
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+    # luts advanced identically
+    np.testing.assert_allclose(
+        np.asarray(ts1["luts"]["corr"]), np.asarray(ts2["luts"]["corr"]), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_sharded_cosine_distance():
+    mesh = data_mesh(8)
+    rng = np.random.RandomState(1)
+    qf = rng.randn(6, 12).astype(np.float32)
+    gf = rng.randn(16, 12).astype(np.float32)
+    out = np.asarray(sharded_cosine_distance(qf, gf, mesh))
+    np.testing.assert_allclose(out, -(qf @ gf.T), rtol=1e-5, atol=1e-5)
+
+
+def test_batch_not_divisible_raises():
+    mesh = data_mesh(8)
+    with pytest.raises(ValueError):
+        shard_batch(jnp.zeros((6, 2)), mesh)
+
+
+def test_graft_dryrun_multichip():
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", osp.join(osp.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
