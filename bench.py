@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_ANCHOR_CLIPS_PER_SEC = 100.0
-MICRO_BATCH = 32
+MICRO_BATCH = 64
 SEQ_LEN = 8
 H, W = 256, 128
 

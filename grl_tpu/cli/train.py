@@ -36,8 +36,16 @@ def build_models(args, tiny=False):
         trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4, compute_dtype=cd)
     else:
         trunk = models.resnet50_trunk(last_stride=1, compute_dtype=cd)
-    cnn = models.GRLModel(trunk=trunk, compute_dtype=cd)
-    siamese = models.Siamese(input_num=cnn.num_feat, output_num=512, class_num=2, compute_dtype=cd)
+    if args.arch1 == "resnet50":
+        # per-frame baseline (reference reid/models/resnet.py); usable for
+        # feature extraction/eval — the GRL loss recipe requires resnet50_grl
+        cnn = models.ResNetBaseline(num_features=args.features, compute_dtype=cd)
+        cnn.num_feat = 2048
+    else:
+        cnn = models.GRLModel(trunk=trunk, compute_dtype=cd)
+    siamese = models.create(
+        args.arch2, input_num=cnn.num_feat, output_num=512, class_num=2, compute_dtype=cd
+    )
     siamese_uncorr = models.SiameseVideo(input_num=cnn.num_feat, compute_dtype=cd)
     return cnn, siamese, siamese_uncorr
 

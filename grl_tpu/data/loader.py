@@ -38,13 +38,9 @@ def _decode_frame(source, index, height, width):
                 Image.fromarray(frame).resize((width, height), Image.BILINEAR)
             )
         return frame
-    from PIL import Image
+    from .jpeg import decode_resize
 
-    with Image.open(source[index]) as img:
-        img = img.convert("RGB")
-        if img.size != (width, height):
-            img = img.resize((width, height), Image.BILINEAR)
-        return np.asarray(img, dtype=np.uint8)
+    return decode_resize(source[index], height, width)
 
 
 def _num_frames(source):

@@ -1,6 +1,6 @@
 """Training/evaluation engine: metrics, re-ranking, trainer, evaluator."""
 
-from . import metrics
+from . import metrics, visualize
 from .evaluator import Evaluator
 from .optim import SGD, lr_mult_tree, step_decay_lr
 from .rerank import re_ranking
@@ -9,6 +9,7 @@ from .trainer import Trainer
 
 __all__ = [
     "metrics",
+    "visualize",
     "re_ranking",
     "Evaluator",
     "Trainer",

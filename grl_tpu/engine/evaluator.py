@@ -37,7 +37,7 @@ def cosine_distance(qf, gf):
 
 
 class Evaluator:
-    def __init__(self, cnn, siamese, only_eval=False, micro_batch=8, rerank=False):
+    def __init__(self, cnn, siamese, only_eval=False, micro_batch=32, rerank=False):
         self.cnn = cnn
         self.siamese = siamese
         self.only_eval = only_eval

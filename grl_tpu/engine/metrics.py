@@ -159,3 +159,52 @@ def accuracy(output, target, topk=(1,)):
     pred = np.argsort(-output, axis=1)[:, :maxk]
     correct = pred == target[:, None]
     return [float(correct[:, :k].any(axis=1).mean()) for k in topk]
+
+
+def evaluate_market(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100):
+    """Alternate Market-1501-style protocol (reference
+    eva_functions.py:187-245): good = same pid different camera; junk =
+    pid -1 or same pid same camera; AP is the trapezoidal precision-recall
+    integral over the junk-compressed ranking."""
+    distmat = np.asarray(distmat)
+    q_pids, g_pids = np.asarray(q_pids), np.asarray(g_pids)
+    q_camids, g_camids = np.asarray(q_camids), np.asarray(g_camids)
+    num_q = distmat.shape[0]
+    cmc_rows = np.zeros((num_q, max_rank), np.float32)
+    aps = np.zeros(num_q, np.float32)
+    num_valid = 0
+
+    for k in range(num_q):
+        good = (q_pids[k] == g_pids) & (q_camids[k] != g_camids)
+        if not good.any():
+            continue
+        num_valid += 1
+        junk = (g_pids == -1) | ((q_pids[k] == g_pids) & (q_camids[k] == g_camids))
+        order = np.argsort(distmat[k])[:max_rank]
+
+        num_real = int(good.sum())
+        old_recall, old_precision = 0.0, 1.0
+        ap = 0.0
+        intersect, j, njunk, good_now = 0, 0, 0, 0
+        for n, gi in enumerate(order):
+            hit = bool(good[gi])
+            if hit:
+                cmc_rows[k, n - njunk:] = 1
+                good_now += 1
+            if junk[gi]:
+                njunk += 1
+                continue
+            if hit:
+                intersect += 1
+            recall = intersect / num_real
+            precision = intersect / (j + 1)
+            ap += (recall - old_recall) * (old_precision + precision) / 2
+            old_recall, old_precision = recall, precision
+            j += 1
+            if good_now == num_real:
+                break
+        aps[k] = ap
+
+    if num_valid == 0:
+        raise RuntimeError("No valid query")
+    return cmc_rows.sum(0) / num_valid, float(aps.mean())

@@ -1,0 +1,62 @@
+"""Tracing / profiling hooks.
+
+The reference's only observability is wall-clock AverageMeters printed
+every 100 steps (reid/train/trainer.py:28-39,68-78). Here that surface is
+kept (Trainer meters) and extended with the TPU-native tools:
+
+- ``trace(logdir)``: context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable device trace of whatever runs inside;
+- ``ThroughputMeter``: clips/sec & steps/sec counters (the BASELINE.json
+  headline metric) with host-sync-aware timing — on the axon-tunneled TPU
+  ``block_until_ready`` returns early, so callers must time around a host
+  materialization (see bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+@contextlib.contextmanager
+def trace(logdir):
+    """Capture a jax.profiler device trace into ``logdir``."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class ThroughputMeter:
+    """Aggregate items/sec over update() calls."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.items = 0
+        self.steps = 0
+        self.elapsed = 0.0
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def update(self, n_items):
+        if self._t0 is None:
+            raise RuntimeError("call start() before update()")
+        self.elapsed += time.perf_counter() - self._t0
+        self.items += n_items
+        self.steps += 1
+        self._t0 = time.perf_counter()
+
+    @property
+    def items_per_sec(self):
+        return self.items / self.elapsed if self.elapsed > 0 else 0.0
+
+    @property
+    def steps_per_sec(self):
+        return self.steps / self.elapsed if self.elapsed > 0 else 0.0
