@@ -29,6 +29,9 @@ H, W = 256, 128
 
 
 def main():
+    from grl_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from grl_tpu import models
     from grl_tpu.data.transforms import normalize
 

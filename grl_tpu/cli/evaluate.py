@@ -30,6 +30,9 @@ from .train import build_models, state_to_device
 
 
 def main(args):
+    from ..utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     run = 0
     while osp.exists(osp.join(args.logs_dir, f"log_test{run}.txt")):
         run += 1

@@ -59,6 +59,9 @@ def state_to_device(tree):
 
 
 def main(args):
+    from ..utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     np.random.seed(args.seed)
     mkdir_if_missing(args.logs_dir)
 
@@ -157,32 +160,37 @@ def main(args):
 
 
 def build_parser():
+    # argparse defaults come from the typed config (grl_tpu/config.py), the
+    # single source of truth for the reference's mars_train.py defaults
+    from ..config import ExperimentConfig
+
+    cfg = ExperimentConfig()
     working_dir = os.getcwd()
     parser = argparse.ArgumentParser(description="GRL-TPU training")
-    parser.add_argument("-d", "--dataset", type=str, default="mars",
+    parser.add_argument("-d", "--dataset", type=str, default=cfg.data.dataset,
                         choices=["ilidsvidsequence", "prid2011sequence", "mars", "duke", "synthetic"])
-    parser.add_argument("-b", "--batch-size", type=int, default=16)
-    parser.add_argument("-j", "--workers", type=int, default=8)
-    parser.add_argument("--seq_len", type=int, default=8)
-    parser.add_argument("--seq_srd", type=int, default=4)
-    parser.add_argument("--split", type=int, default=0)
-    parser.add_argument("--arch1", type=str, default="resnet50_grl",
+    parser.add_argument("-b", "--batch-size", type=int, default=cfg.data.batch_size)
+    parser.add_argument("-j", "--workers", type=int, default=cfg.data.workers)
+    parser.add_argument("--seq_len", type=int, default=cfg.data.seq_len)
+    parser.add_argument("--seq_srd", type=int, default=cfg.data.seq_srd)
+    parser.add_argument("--split", type=int, default=cfg.data.split)
+    parser.add_argument("--arch1", type=str, default=cfg.model.arch1,
                         choices=["resnet50_grl", "resnet50"])
-    parser.add_argument("--features", type=int, default=2048)
-    parser.add_argument("--dropout", type=float, default=0.0)
-    parser.add_argument("--arch2", type=str, default="siamese")
+    parser.add_argument("--features", type=int, default=cfg.model.features)
+    parser.add_argument("--dropout", type=float, default=cfg.model.dropout)
+    parser.add_argument("--arch2", type=str, default=cfg.model.arch2)
     parser.add_argument("--loss", type=str, default="oim", choices=["xentropy", "oim", "triplet"])
-    parser.add_argument("--oim-scalar", type=float, default=30)
-    parser.add_argument("--oim-momentum", type=float, default=0.5)
+    parser.add_argument("--oim-scalar", type=float, default=cfg.loss.oim_scalar)
+    parser.add_argument("--oim-momentum", type=float, default=cfg.loss.oim_momentum)
     parser.add_argument("--sampling-rate", type=int, default=3)
     parser.add_argument("--sample_method", type=str, default="rrs")
-    parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--lr", type=float, default=0.001)
-    parser.add_argument("--lr_step", type=float, default=15)
-    parser.add_argument("--momentum", type=float, default=0.9)
-    parser.add_argument("--weight-decay", type=float, default=5e-4)
-    parser.add_argument("--start-epoch", type=int, default=0)
-    parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("--seed", type=int, default=cfg.seed)
+    parser.add_argument("--lr", type=float, default=cfg.optim.lr)
+    parser.add_argument("--lr_step", type=float, default=cfg.optim.lr_step)
+    parser.add_argument("--momentum", type=float, default=cfg.optim.momentum)
+    parser.add_argument("--weight-decay", type=float, default=cfg.optim.weight_decay)
+    parser.add_argument("--start-epoch", type=int, default=cfg.start_epoch)
+    parser.add_argument("--epochs", type=int, default=cfg.epochs)
     parser.add_argument("--evaluate", type=int, default=0)
     parser.add_argument("--visual", type=int, default=0)
     parser.add_argument("--rerank", type=int, default=0)

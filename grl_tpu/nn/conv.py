@@ -18,7 +18,13 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d(x, kernel, *, stride=(1, 1), padding=(0, 0), compute_dtype=None):
-    """Plain functional conv. ``padding`` is symmetric (ph, pw)."""
+    """Plain functional conv. ``padding`` is symmetric (ph, pw).
+
+    Under a bf16 compute dtype the output stays bf16 (XLA's MXU still
+    accumulates in fp32 internally): keeping activations narrow halves HBM
+    traffic, and emitting fp32 from bf16 convs breaks the transposed-conv
+    VJP (mixed cotangent/kernel dtypes).
+    """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
@@ -29,7 +35,6 @@ def conv2d(x, kernel, *, stride=(1, 1), padding=(0, 0), compute_dtype=None):
         window_strides=stride,
         padding=((ph, ph), (pw, pw)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
     )
 
 

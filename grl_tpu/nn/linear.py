@@ -33,9 +33,12 @@ class Linear(Module):
     def apply(self, params, state, x, *, training=False):
         kernel = params["kernel"]
         if self.compute_dtype is not None:
+            # keep bf16 activations bf16 (fp32 MXU accumulation is implicit)
             x = x.astype(self.compute_dtype)
             kernel = kernel.astype(self.compute_dtype)
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+            y = jnp.dot(x, kernel)
+        else:
+            y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
         if self.use_bias:
             y = y + params["bias"].astype(y.dtype)
         return y, state

@@ -60,3 +60,16 @@ class ThroughputMeter:
     @property
     def steps_per_sec(self):
         return self.steps / self.elapsed if self.elapsed > 0 else 0.0
+
+
+def enable_compilation_cache(path=None):
+    """Persist XLA compilations across processes (first full-model compile
+    on the tunneled TPU costs minutes; cached reloads cost seconds)."""
+    import os
+
+    import jax
+
+    path = path or os.path.join(os.path.expanduser("~"), ".cache", "grl_tpu_xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -132,3 +132,24 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     bad["params"] = {"w": np.zeros((3, 3), np.float32)}
     with pytest.raises(ValueError):
         load_train_state(bad, path)
+
+
+def test_typed_config_matches_cli_defaults():
+    """config.py is the single source of truth for mars_train.py defaults."""
+    from grl_tpu.cli.train import build_parser
+    from grl_tpu.config import ExperimentConfig, PRESETS
+
+    args = build_parser().parse_args([])
+    cfg = ExperimentConfig.from_args(args)
+    ref = PRESETS["mars"]()
+    assert cfg.data.batch_size == ref.data.batch_size == 16
+    assert cfg.data.seq_len == ref.data.seq_len == 8
+    assert cfg.optim.lr == ref.optim.lr == 1e-3
+    assert cfg.optim.lr_step == ref.optim.lr_step == 15
+    assert cfg.optim.weight_decay == ref.optim.weight_decay == 5e-4
+    assert cfg.loss.oim_scalar == ref.loss.oim_scalar == 30.0
+    assert cfg.epochs == ref.epochs == 60
+    assert cfg.seed == ref.seed == 0
+    # intended test_all defaults (reference bugs fixed): seed 1, dense bs 1
+    t = PRESETS["test_all"]()
+    assert t.seed == 1 and t.data.batch_size == 1
