@@ -98,25 +98,34 @@ class _Direction(Module):
         """
         c = self.children
         memo0 = jnp.mean(x_uncorr, axis=0)
+        t, b, h, w, ch = x_corr.shape
+
+        # Hoist everything that does not depend on the recurrence out of the
+        # scan (exact algebra, no approximation):
+        #  - f2 = relu(conv(frame)) is memory-independent → one batched
+        #    (t*b*h*w, C) MXU matmul instead of t sequential ones;
+        #  - mean_hw(x*atte + x) == mean_hw(x) * (1 + atte), so the enhanced
+        #    (b, h, w, C) map never needs materializing — the scan body
+        #    touches x_corr only through f2 and its precomputed spatial mean.
+        f2_all, _ = c["f2"].apply(params["f2"], state["f2"], x_corr.reshape(t * b, h, w, ch))
+        f2_all = F.relu(f2_all).reshape(t, b, h, w, ch)
+        xc_mean = jnp.mean(x_corr, axis=(2, 3))  # (t, b, ch)
 
         def step(carry, xs):
             memo, bn_state = carry
-            xc, xu = xs
+            f2, xcm, xu = xs
             f1, _ = c["f1"].apply(params["f1"], state["f1"], memo)
-            f2, _ = c["f2"].apply(params["f2"], state["f2"], xc)
             f1 = F.relu(f1)
-            f2 = F.relu(f2)
             diff = jnp.mean(jnp.square(f1 - f2), axis=(1, 2))
             atte, _ = c["atte"].apply(params["atte"], state["atte"], diff)
-            enhanced = xc * atte[:, None, None, :] + xc
-            f_step = jnp.mean(enhanced, axis=(1, 2))
+            f_step = xcm * (1.0 + atte)
             new_memo, new_bn = c["memo"].apply(
                 params["memo"], bn_state, memo + xu, training=training
             )
             return (new_memo, new_bn), f_step
 
         (memo_final, memo_state_new), f_steps = jax.lax.scan(
-            step, (memo0, state["memo"]), (x_corr, x_uncorr)
+            step, (memo0, state["memo"]), (f2_all, xc_mean, x_uncorr)
         )
         return f_steps, memo_final, {**state, "memo": memo_state_new}
 
