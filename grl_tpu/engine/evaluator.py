@@ -105,14 +105,33 @@ class Evaluator:
         print(f"Done, obtained {gf.shape[0]}-by-{gf.shape[1]} matrix")
 
         print("Computing distance matrix")
-        distmat = np.asarray(cosine_distance(jnp.asarray(qf), jnp.asarray(gf)))
+        on_cpu = jax.default_backend() == "cpu"
+        qf_d, gf_d = jnp.asarray(qf), jnp.asarray(gf)
+        distmat = cosine_distance(qf_d, gf_d)
         if self.rerank:
             print("Applying person re-ranking ...")
-            qq = np.asarray(_euclidean(qf, qf))
-            gg = np.asarray(_euclidean(gf, gf))
-            distmat = _re_ranking(distmat, qq, gg)
+            if on_cpu:
+                qq = np.asarray(_euclidean(qf_d, qf_d))
+                gg = np.asarray(_euclidean(gf_d, gf_d))
+                distmat = _re_ranking(np.asarray(distmat), qq, gg)
+            else:
+                # On-device set algebra + Pallas Jaccard min-sum. The n^2
+                # distance matrices never leave the chip — only features go
+                # up; ranking below also runs on device.
+                from .rerank import re_ranking_device
 
-        cmc_curve, mAP = metrics.evaluate(distmat, q_pids, g_pids, q_camids, g_camids)
+                distmat = re_ranking_device(
+                    distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d)
+                )
+
+        if on_cpu:
+            cmc_curve, mAP = metrics.evaluate(
+                np.asarray(distmat), q_pids, g_pids, q_camids, g_camids
+            )
+        else:  # device protocol: only the CMC curve + mAP scalars come back
+            cmc_curve, mAP = metrics.evaluate_device(
+                distmat, q_pids, g_pids, q_camids, g_camids
+            )
         print("Mean AP: {:4.1%}".format(mAP))
         for r in cmc_topk:
             if r <= len(cmc_curve):

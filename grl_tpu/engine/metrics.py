@@ -64,6 +64,71 @@ def evaluate(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100):
     return cmc_curve.astype(np.float32), float(ap.mean())
 
 
+def _device_protocol(max_rank):
+    """Build the jitted device protocol once per max_rank (module-level
+    cache: defining the jit inside evaluate_device would recompile the
+    whole program on every call)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _protocol(distmat, q_pids, g_pids, q_camids, g_camids):
+        indices = jnp.argsort(distmat, axis=1)
+        matches = g_pids[indices] == q_pids[:, None]
+        junk = matches & (g_camids[indices] == q_camids[:, None])
+        keep = ~junk
+        kept = matches & keep
+        valid = kept.any(axis=1)
+        nvalid = jnp.maximum(valid.sum(), 1)
+
+        pos = jnp.cumsum(keep, axis=1) - 1
+        big = jnp.iinfo(jnp.int32).max
+        first_hit = jnp.where(kept, pos, big).min(axis=1)
+        hits = (first_hit[:, None] <= jnp.arange(max_rank)[None, :]) & valid[:, None]
+        cmc_curve = hits.sum(axis=0) / nvalid
+
+        cum_hits = jnp.cumsum(kept, axis=1)
+        precision = jnp.where(kept, cum_hits / jnp.maximum(pos + 1.0, 1.0), 0.0)
+        num_rel = jnp.maximum(kept.sum(axis=1), 1)
+        ap = precision.sum(axis=1) / num_rel
+        mAP = jnp.where(valid, ap, 0.0).sum() / nvalid
+        return cmc_curve.astype(jnp.float32), mAP, valid.any()
+
+    return _protocol
+
+
+_DEVICE_PROTOCOLS = {}
+
+
+def evaluate_device(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100):
+    """MARS-protocol CMC + mAP computed on the accelerator.
+
+    Same semantics as :func:`evaluate` but the (q, g) distance matrix stays
+    device-resident — only the max_rank CMC curve and the mAP scalar cross
+    the host boundary (the matrix pull itself dominates evaluation wall
+    clock on slow interconnects).
+    """
+    import jax.numpy as jnp
+
+    num_g = distmat.shape[1]
+    max_rank = min(max_rank, num_g)
+    if max_rank not in _DEVICE_PROTOCOLS:
+        _DEVICE_PROTOCOLS[max_rank] = _device_protocol(max_rank)
+
+    cmc_curve, mAP, any_valid = _DEVICE_PROTOCOLS[max_rank](
+        jnp.asarray(distmat),
+        jnp.asarray(np.asarray(q_pids)),
+        jnp.asarray(np.asarray(g_pids)),
+        jnp.asarray(np.asarray(q_camids)),
+        jnp.asarray(np.asarray(g_camids)),
+    )
+    if not bool(any_valid):
+        raise RuntimeError("Error: all query identities do not appear in gallery")
+    return np.asarray(cmc_curve), float(mAP)
+
+
 def cmc(
     distmat,
     query_ids=None,

@@ -24,6 +24,97 @@ from __future__ import annotations
 import numpy as np
 
 
+def re_ranking_device(
+    q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3, interpret=False
+):
+    """k-reciprocal re-ranking on the TPU.
+
+    Same math as :func:`re_ranking` (reference reid/evaluator/rerank.py:
+    37-104), executed as one jit program: top-k adjacency via
+    ``lax.top_k``, the k-reciprocal set algebra as MXU boolean matmuls
+    (counts ≤ k1+1 are exact in fp32 accumulation), query expansion as k2
+    accumulated row-gathers, and the Jaccard min-sum as the Pallas
+    min-plus kernel (grl_tpu/ops/minplus.py). Seconds on one chip vs
+    minutes of host numpy at MARS scale (1980 + 9330 tracklets).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import minplus_matmul
+
+    query_num = q_g_dist.shape[0]
+    if (k1, k2) not in _BUILD_V_CACHE:
+        _BUILD_V_CACHE[(k1, k2)] = _make_build_v(k1, k2)
+    _build_v = _BUILD_V_CACHE[(k1, k2)]
+
+    v, original = _build_v(
+        jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist)
+    )
+    min_sum = minplus_matmul(v[:query_num], v, interpret=interpret)
+    jaccard = 1.0 - min_sum / (2.0 - min_sum)
+    final = jaccard * (1 - lambda_value) + original[:query_num] * lambda_value
+    # returned device-resident: downstream CMC/mAP also runs on device, so
+    # the (q, g) matrix need never cross the host boundary
+    return final[:, query_num:]
+
+
+_BUILD_V_CACHE = {}
+
+
+def _make_build_v(k1, k2):
+    """Jitted membership-weight builder, cached per (k1, k2) — a fresh jit
+    per call would recompile the whole set-algebra program every time."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _build_v(q_g, q_q, g_g):
+        original = jnp.concatenate(
+            [
+                jnp.concatenate([q_q, q_g], axis=1),
+                jnp.concatenate([q_g.T, g_g], axis=1),
+            ],
+            axis=0,
+        )
+        original = jnp.square(original).astype(jnp.float32)
+        original = (original / jnp.max(original, axis=0)).T
+        n = original.shape[0]
+        rows = jnp.arange(n)[:, None]
+
+        def topk_adj(k):
+            _, idx = jax.lax.top_k(-original, k)
+            return jnp.zeros((n, n), bool).at[rows, idx].set(True)
+
+        reciprocal = topk_adj(k1 + 1)
+        reciprocal &= reciprocal.T
+
+        half = int(np.around(k1 / 2.0)) + 1
+        b = topk_adj(half)
+        b &= b.T
+        b_sizes = jnp.sum(b, axis=1).astype(jnp.float32)
+
+        rf = reciprocal.astype(jnp.bfloat16)
+        bf = b.astype(jnp.bfloat16)
+        overlap = jnp.dot(rf, bf.T, preferred_element_type=jnp.float32)
+        qualifies = reciprocal & (overlap > (2.0 / 3.0) * b_sizes[None, :])
+        expanded = jnp.dot(
+            qualifies.astype(jnp.bfloat16), bf, preferred_element_type=jnp.float32
+        )
+        expansion = reciprocal | (expanded > 0)
+
+        weights = jnp.exp(-original) * expansion
+        v = weights / jnp.sum(weights, axis=1, keepdims=True)
+
+        if k2 != 1:
+            _, idx2 = jax.lax.top_k(-original, k2)
+            acc = v[idx2[:, 0]]
+            for j in range(1, k2):  # accumulated gathers: no (n, k2, n) blow-up
+                acc = acc + v[idx2[:, j]]
+            v = acc / k2
+        return v, original
+
+    return _build_v
+
+
 def _topk_adjacency(rank, k):
     n = rank.shape[0]
     adj = np.zeros((n, n), dtype=bool)

@@ -1,0 +1,68 @@
+"""Pallas kernels + device eval path, on CPU (interpret mode / jnp)."""
+
+import numpy as np
+import pytest
+
+from grl_tpu.engine import metrics
+from grl_tpu.engine.rerank import re_ranking, re_ranking_device
+from grl_tpu.ops import minplus_matmul
+
+
+def test_minplus_matmul_matches_dense_numpy():
+    rng = np.random.RandomState(0)
+    a = np.abs(rng.randn(37, 300)).astype(np.float32)
+    b = np.abs(rng.randn(150, 300)).astype(np.float32)
+    ref = np.minimum(a[:, None, :], b[None, :, :]).sum(axis=2)
+    out = np.asarray(minplus_matmul(a, b, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_minplus_matmul_zero_padding_exact():
+    # exercises padding in every tiled dimension (m, n, k all non-multiples)
+    rng = np.random.RandomState(1)
+    a = np.abs(rng.rand(5, 17)).astype(np.float32)
+    b = np.abs(rng.rand(9, 17)).astype(np.float32)
+    ref = np.minimum(a[:, None, :], b[None, :, :]).sum(axis=2)
+    out = np.asarray(minplus_matmul(a, b, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def _synthetic_dists(q, g, dim=32, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(q + g, dim).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = np.linalg.norm(feats[:, None] - feats[None, :], axis=2)
+    return d[:q, q:], d[:q, :q], d[q:, q:]
+
+
+def test_device_rerank_matches_numpy_reference():
+    qg, qq, gg = _synthetic_dists(25, 90)
+    ref = re_ranking(qg, qq, gg)
+    dev = np.asarray(re_ranking_device(qg, qq, gg, interpret=True))
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_device_evaluate_matches_numpy_protocol():
+    rng = np.random.RandomState(3)
+    q, g = 20, 70
+    distmat = rng.rand(q, g).astype(np.float32)
+    q_pids = rng.randint(0, 8, q)
+    g_pids = rng.randint(0, 8, g)
+    q_camids = rng.randint(0, 3, q)
+    g_camids = rng.randint(0, 3, g)
+    cmc_ref, map_ref = metrics.evaluate(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=20)
+    cmc_dev, map_dev = metrics.evaluate_device(
+        distmat, q_pids, g_pids, q_camids, g_camids, max_rank=20
+    )
+    np.testing.assert_allclose(cmc_dev, cmc_ref, atol=1e-6)
+    assert abs(map_dev - map_ref) < 1e-6
+
+
+def test_device_evaluate_raises_when_no_valid_query():
+    distmat = np.random.RandomState(0).rand(3, 4).astype(np.float32)
+    q_pids = np.array([1, 2, 3])
+    g_pids = np.array([7, 8, 9, 7])  # no query pid in gallery
+    cams_q = np.zeros(3, np.int32)
+    cams_g = np.ones(4, np.int32)
+    with pytest.raises(RuntimeError):
+        metrics.evaluate_device(distmat, q_pids, g_pids, cams_q, cams_g)
