@@ -87,3 +87,38 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_device_metrics_matches_numpy():
+    """CMC/mAP protocol with query rows sharded over the 8-device mesh."""
+    from grl_tpu.engine import metrics
+
+    rng = np.random.RandomState(5)
+    q, g = 21, 67  # q deliberately not divisible by 8 (exercises padding)
+    distmat = rng.rand(q, g).astype(np.float32)
+    q_pids = rng.randint(0, 6, q)
+    g_pids = rng.randint(0, 6, g)
+    q_cams = rng.randint(0, 3, q)
+    g_cams = rng.randint(0, 3, g)
+    mesh = data_mesh(8)
+    ref_cmc, ref_map = metrics.evaluate(distmat, q_pids, g_pids, q_cams, g_cams, max_rank=20)
+    cmc_sh, map_sh = metrics.evaluate_device(
+        distmat, q_pids, g_pids, q_cams, g_cams, max_rank=20, mesh=mesh
+    )
+    np.testing.assert_allclose(cmc_sh, ref_cmc, atol=1e-6)
+    assert abs(map_sh - ref_map) < 1e-6
+
+
+def test_sharded_device_rerank_matches_numpy():
+    from grl_tpu.engine.rerank import re_ranking, re_ranking_device
+
+    rng = np.random.RandomState(6)
+    q, g = 19, 85  # q not divisible by 8
+    feats = rng.randn(q + g, 16).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = np.linalg.norm(feats[:, None] - feats[None, :], axis=2)
+    qg, qq, gg = d[:q, q:], d[:q, :q], d[q:, q:]
+    mesh = data_mesh(8)
+    ref = re_ranking(qg, qq, gg)
+    dev = np.asarray(re_ranking_device(qg, qq, gg, interpret=True, mesh=mesh))
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
