@@ -61,7 +61,8 @@ def main(args):
     )
     state = state_to_device(state)
 
-    evaluator = Evaluator(cnn, siamese, only_eval=True, rerank=bool(args.rerank))
+    evaluator = Evaluator(cnn, siamese, only_eval=True, rerank=bool(args.rerank),
+                          visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None)
     top1 = evaluator.evaluate(state["params"], state["model_state"], query_loader, gallery_loader)
     print("rank-1 accuracy is", top1)
     return top1

@@ -114,7 +114,8 @@ def main(args):
     else:
         start_epoch, best_top1 = args.start_epoch, 0.0
 
-    evaluator = Evaluator(cnn, siamese, only_eval=bool(args.evaluate), rerank=bool(args.rerank))
+    evaluator = Evaluator(cnn, siamese, only_eval=bool(args.evaluate), rerank=bool(args.rerank),
+                          visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None)
 
     if args.evaluate:
         train_state, _ = load_train_state(train_state, osp.join(args.logs_dir, best_path))

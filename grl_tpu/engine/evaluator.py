@@ -37,12 +37,15 @@ def cosine_distance(qf, gf):
 
 
 class Evaluator:
-    def __init__(self, cnn, siamese, only_eval=False, micro_batch=32, rerank=False):
+    def __init__(
+        self, cnn, siamese, only_eval=False, micro_batch=32, rerank=False, visual_dir=None
+    ):
         self.cnn = cnn
         self.siamese = siamese
         self.only_eval = only_eval
         self.micro_batch = micro_batch
         self.rerank = rerank
+        self.visual_dir = visual_dir  # save ranked-result strips (test_all.py --visual)
         self._descriptor_fn = None
 
     # -- descriptor ------------------------------------------------------
@@ -137,6 +140,18 @@ class Evaluator:
             if r <= len(cmc_curve):
                 print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
         print("------------------")
+
+        if self.visual_dir:
+            # ranked-result strips (reference attevaluator.py:130-135 +
+            # evaluator/visualize.py); gallery items = query ∪ gallery,
+            # matching the distmat columns
+            from .visualize import visualize_ranked_results
+
+            q_items = list(query_loader.dataset.tracklets)
+            g_items = q_items + list(gallery_loader.dataset.tracklets)
+            visualize_ranked_results(np.asarray(distmat), q_items, g_items, self.visual_dir)
+            print(f"saved ranked visualizations to {self.visual_dir}")
+
         print(f"(evaluation took {time.time() - t0:.1f}s)")
         return float(cmc_curve[0])
 
