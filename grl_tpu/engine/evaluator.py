@@ -38,14 +38,19 @@ def cosine_distance(qf, gf):
 
 class Evaluator:
     def __init__(
-        self, cnn, siamese, only_eval=False, micro_batch=32, rerank=False, visual_dir=None
+        self, cnn, siamese, only_eval=False, micro_batch=32, rerank=False, visual_dir=None,
+        mesh=None,
     ):
         self.cnn = cnn
         self.siamese = siamese
         self.only_eval = only_eval
-        self.micro_batch = micro_batch
         self.rerank = rerank
         self.visual_dir = visual_dir  # save ranked-result strips (test_all.py --visual)
+        self.mesh = mesh  # multi-chip: clips sharded over the batch axis
+        if mesh is not None:
+            ndev = mesh.shape[mesh.axis_names[0]]
+            micro_batch = -(-micro_batch // ndev) * ndev  # divisible by mesh
+        self.micro_batch = micro_batch
         self._descriptor_fn = None
 
     # -- descriptor ------------------------------------------------------
@@ -73,8 +78,17 @@ class Evaluator:
             pad = mb - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            chunk = jnp.asarray(chunk)
+            if self.mesh is not None:
+                # pure data-parallel extraction: clips shard over the batch
+                # axis, the jitted descriptor auto-partitions (no collectives)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                chunk = jax.device_put(
+                    chunk, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                )
             d = self._descriptor_fn(
-                params["cnn"], state["cnn"], params["siamese"], state["siamese"], jnp.asarray(chunk)
+                params["cnn"], state["cnn"], params["siamese"], state["siamese"], chunk
             )
             outs.append(np.asarray(d[: mb - pad if pad else mb]))
         return np.concatenate(outs, axis=0)
@@ -124,16 +138,17 @@ class Evaluator:
                 from .rerank import re_ranking_device
 
                 distmat = re_ranking_device(
-                    distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d)
+                    distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d),
+                    mesh=self.mesh,
                 )
 
-        if on_cpu:
+        if on_cpu and self.mesh is None:
             cmc_curve, mAP = metrics.evaluate(
                 np.asarray(distmat), q_pids, g_pids, q_camids, g_camids
             )
         else:  # device protocol: only the CMC curve + mAP scalars come back
             cmc_curve, mAP = metrics.evaluate_device(
-                distmat, q_pids, g_pids, q_camids, g_camids
+                distmat, q_pids, g_pids, q_camids, g_camids, mesh=self.mesh
             )
         print("Mean AP: {:4.1%}".format(mAP))
         for r in cmc_topk:

@@ -122,3 +122,32 @@ def test_sharded_device_rerank_matches_numpy():
     ref = re_ranking(qg, qq, gg)
     dev = np.asarray(re_ranking_device(qg, qq, gg, interpret=True, mesh=mesh))
     np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mesh_evaluator_matches_single_device():
+    """Full eval protocol with mesh-sharded feature extraction + metrics."""
+    import jax.numpy as jnp
+
+    from grl_tpu import models
+    from grl_tpu.data import get_data
+    from grl_tpu.engine.evaluator import Evaluator
+
+    _, _, _, query_loader, gallery_loader = get_data(
+        "synthetic", "", 4, 4, 4, 2, only_eval=False, dataset_kwargs=dict(seed=0)
+    )
+    trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
+    cnn = models.GRLModel(trunk=trunk)
+    siamese = models.Siamese(input_num=cnn.num_feat, output_num=16)
+    params, state = jax.jit(cnn.init)(jax.random.PRNGKey(0))
+    sp, ss = jax.jit(siamese.init)(jax.random.PRNGKey(1))
+    p = {"cnn": params, "siamese": sp}
+    s = {"cnn": state, "siamese": ss}
+
+    ref = Evaluator(cnn, siamese, micro_batch=8).evaluate(
+        p, s, query_loader, gallery_loader
+    )
+    mesh = data_mesh(8)
+    sharded = Evaluator(cnn, siamese, micro_batch=8, mesh=mesh).evaluate(
+        p, s, query_loader, gallery_loader
+    )
+    assert abs(ref - sharded) < 1e-6
