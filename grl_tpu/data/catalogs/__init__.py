@@ -2,6 +2,7 @@
 
 from .duke import DukeMTMCVidReID
 from .mars import Mars
+from .prepare import prepare_ilidsvid, prepare_prid2011
 from .sequence import PRID2011Sequence, SequenceDataset, iLIDSVIDSequence
 from .synthetic import SyntheticVideoReID
 

@@ -84,3 +84,87 @@ def test_flow_path_companions(tmp_path):
     flows = ds.flow_paths_for(paths)
     assert all("others" in f for f in flows)
     assert len(flows) == len(paths)
+
+
+def make_raw_ilids(tmp_path, num_ids=4, frames=10):
+    """Synthesize the published raw layout: sequences/cam{1,2}/person***/
+    cam*_person*_*.png plus the fixed-splits .mat."""
+    from PIL import Image
+    from scipy.io import savemat
+
+    root = tmp_path / "ilids_raw"
+    ex = root / "raw" / "iLIDS-VID" / "i-LIDS-VID"
+    for cam in (1, 2):
+        for pid in range(1, num_ids + 1):
+            d = ex / "sequences" / f"cam{cam}" / f"person{pid:03d}"
+            d.mkdir(parents=True)
+            for f in range(frames):
+                img = (np.random.RandomState(f).rand(32, 16, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(d / f"cam{cam}_person{pid:03d}_{f:05d}.png")
+    mat_dir = ex / "train-test people splits"
+    mat_dir.mkdir(parents=True)
+    # ls_set rows: permutations of 1-based pids (first half trainval)
+    ls = np.stack([np.roll(np.arange(1, num_ids + 1), i) for i in range(3)])
+    savemat(mat_dir / "train_test_splits_ilidsvid.mat", {"ls_set": ls})
+    return str(root)
+
+
+def test_prepare_ilidsvid_builds_canonical_layout(tmp_path):
+    from grl_tpu.data.catalogs import iLIDSVIDSequence, prepare_ilidsvid
+
+    root = make_raw_ilids(tmp_path)
+    n_ids, n_splits = prepare_ilidsvid(root)
+    assert n_ids == 4 and n_splits == 3
+    assert osp.exists(osp.join(root, "images", "00000000_00_0000.png"))
+    assert osp.exists(osp.join(root, "meta.json"))
+    # the prepared layout loads straight into the catalog
+    ds = iLIDSVIDSequence(root, split_id=0, seq_len=4, seq_srd=2, num_val=0.0)
+    assert ds.num_trainval_ids == 2
+    assert len(ds.query) > 0 and len(ds.gallery) > 0
+
+
+def make_raw_prid(tmp_path, num_ids=5, frames=8):
+    from PIL import Image
+
+    root = tmp_path / "prid_raw"
+    ex = root / "raw" / "prid_2011" / "prid_2011"
+    for cam in ("cam_a", "cam_b"):
+        for pid in range(1, num_ids + 1):
+            d = ex / "multi_shot" / cam / f"person_{pid:04d}"
+            d.mkdir(parents=True)
+            for f in range(frames):
+                img = (np.random.RandomState(f).rand(32, 16, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(d / f"{f + 1:04d}.png")
+    return str(root)
+
+
+def test_prepare_prid2011_builds_canonical_layout(tmp_path):
+    from grl_tpu.data.catalogs import PRID2011Sequence, prepare_prid2011
+
+    root = make_raw_prid(tmp_path)
+    n_ids, n_splits = prepare_prid2011(root, num_splits=4, seed=0)
+    assert n_ids == 5 and n_splits == 4
+    ds = PRID2011Sequence(root, split_id=1, seq_len=4, seq_srd=2, num_val=0.0)
+    # no -1 pids (the reference's permutation(num)-1 bug is fixed)
+    import json
+    splits = json.loads(open(osp.join(root, "splits.json")).read())
+    for s in splits:
+        assert min(s["trainval"] + s["query"]) >= 0
+    assert len(ds.trainval) > 0
+
+
+def test_prepare_from_tarball(tmp_path):
+    """The raw tree can also arrive as a tarball under raw/."""
+    import shutil as sh
+    import tarfile
+
+    from grl_tpu.data.catalogs import prepare_ilidsvid
+
+    staged = make_raw_ilids(tmp_path)
+    inner = osp.join(staged, "raw", "iLIDS-VID", "i-LIDS-VID")
+    root = tmp_path / "from_tar"
+    (root / "raw").mkdir(parents=True)
+    with tarfile.open(root / "raw" / "iLIDS-VID.tar", "w") as tar:
+        tar.add(inner, arcname="i-LIDS-VID")
+    n_ids, n_splits = prepare_ilidsvid(str(root))
+    assert n_ids == 4 and n_splits == 3
