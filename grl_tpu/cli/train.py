@@ -126,7 +126,8 @@ def main(args):
         print("best rank-1 accuracy is", top1)
         return top1
 
-    writer = ScalarWriter(osp.join(args.logs_dir, "train_log"))
+    writer = ScalarWriter(osp.join(args.logs_dir, "train_log"),
+                          tensorboard=bool(args.tensorboard), wipe=True)
     step_fn = make_train_step(
         cnn, siamese, siamese_uncorr, optimizer,
         oim_scalar=args.oim_scalar, oim_momentum=args.oim_momentum,
@@ -204,6 +205,8 @@ def build_parser():
     parser.add_argument("--resume", type=str, default="", help="checkpoint to resume from")
     parser.add_argument("--pretrained-trunk", type=str, default="",
                         help=".npz of torchvision ImageNet resnet50 weights")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also write TensorBoard event files (tensorboardX)")
     return parser
 
 

@@ -50,18 +50,39 @@ class Logger:
 
 
 class ScalarWriter:
-    """Append-only JSONL scalar stream: one {tag, step, value} per line."""
+    """Append-only JSONL scalar stream: one {tag, step, value} per line.
 
-    def __init__(self, logdir):
+    ``tensorboard=True`` additionally writes TensorBoard event files via
+    tensorboardX (the reference's scalar surface, trainer.py:63-65), and
+    ``wipe=True`` clears stale event files from the logdir first — the
+    reference's remove_repeat_tensorboard_files (serialization.py:85-91).
+    """
+
+    def __init__(self, logdir, tensorboard=False, wipe=False):
         os.makedirs(logdir, exist_ok=True)
+        if wipe:
+            for name in os.listdir(logdir):
+                if name.startswith("events.out.tfevents") or name == "scalars.jsonl":
+                    os.remove(osp.join(logdir, name))
         self.path = osp.join(logdir, "scalars.jsonl")
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(logdir)
 
     def add_scalar(self, tag, value, step):
         self._f.write(json.dumps({"tag": tag, "step": int(step), "value": float(value)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def flush(self):
         self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

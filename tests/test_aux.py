@@ -153,3 +153,21 @@ def test_typed_config_matches_cli_defaults():
     # intended test_all defaults (reference bugs fixed): seed 1, dense bs 1
     t = PRESETS["test_all"]()
     assert t.seed == 1 and t.data.batch_size == 1
+
+
+def test_scalar_writer_tensorboard_backend(tmp_path):
+    from grl_tpu.utils import ScalarWriter
+
+    d = str(tmp_path / "tb")
+    w = ScalarWriter(d, tensorboard=True)
+    w.add_scalar("train/total_loss_step", 1.5, 3)
+    w.close()
+    import os
+
+    files = os.listdir(d)
+    assert any(f.startswith("events.out.tfevents") for f in files)
+    assert "scalars.jsonl" in files
+    # wipe clears stale event files
+    w2 = ScalarWriter(d, wipe=True)
+    w2.close()
+    assert not any(f.startswith("events.out.tfevents") for f in os.listdir(d))
