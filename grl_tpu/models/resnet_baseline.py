@@ -6,6 +6,10 @@ Per-frame: trunk (last-stride-1) -> global average pool -> two heads:
 - ``embed``: linear 2048 -> num_features + BN, L2-normalized, (b, t, F).
 
 Returns ``(embed, raw)`` matching the reference's ``(x, raw)`` ordering.
+
+The reference's ``--dropout`` flag constructs an ``nn.Dropout`` that its
+forward never calls (resnet.py:59-60 vs :65-96) — dropout is dead there,
+so none is implemented here either.
 """
 
 from __future__ import annotations
