@@ -38,7 +38,7 @@ def cosine_distance(qf, gf):
 
 class Evaluator:
     def __init__(
-        self, cnn, siamese, only_eval=False, micro_batch=32, rerank=False, visual_dir=None,
+        self, cnn, siamese, only_eval=False, micro_batch=64, rerank=False, visual_dir=None,
         mesh=None,
     ):
         self.cnn = cnn
