@@ -61,7 +61,12 @@ def main(args):
     )
     state = state_to_device(state)
 
+    from ..config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_args(args)
     evaluator = Evaluator(cnn, siamese, only_eval=True, rerank=bool(args.rerank),
+                          micro_batch=cfg.eval.micro_batch, rerank_k1=cfg.eval.rerank_k1,
+                          rerank_k2=cfg.eval.rerank_k2, rerank_lambda=cfg.eval.rerank_lambda,
                           visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None)
     top1 = evaluator.evaluate(state["params"], state["model_state"], query_loader, gallery_loader)
     print("rank-1 accuracy is", top1)

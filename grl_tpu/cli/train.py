@@ -73,6 +73,9 @@ def main(args):
     print(f"==========\nArgs:{args}\n==========")
     print(f"devices: {jax.devices()}")
 
+    from ..config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_args(args)
     dataset, num_classes, train_loader, query_loader, gallery_loader = get_data(
         args.dataset,
         args.data_dir,
@@ -82,6 +85,7 @@ def main(args):
         args.workers,
         only_eval=bool(args.evaluate),
         split_id=args.split,
+        eval_batch=cfg.data.eval_batch_size,
         dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
     )
 
@@ -115,6 +119,8 @@ def main(args):
         start_epoch, best_top1 = args.start_epoch, 0.0
 
     evaluator = Evaluator(cnn, siamese, only_eval=bool(args.evaluate), rerank=bool(args.rerank),
+                          micro_batch=cfg.eval.micro_batch, rerank_k1=cfg.eval.rerank_k1,
+                          rerank_k2=cfg.eval.rerank_k2, rerank_lambda=cfg.eval.rerank_lambda,
                           visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None)
 
     if args.evaluate:
@@ -126,8 +132,10 @@ def main(args):
         print("best rank-1 accuracy is", top1)
         return top1
 
+    # wipe stale scalar/event files only on fresh runs — a resumed run
+    # must keep its earlier training curves
     writer = ScalarWriter(osp.join(args.logs_dir, "train_log"),
-                          tensorboard=bool(args.tensorboard), wipe=True)
+                          tensorboard=bool(args.tensorboard), wipe=not args.resume)
     step_fn = make_train_step(
         cnn, siamese, siamese_uncorr, optimizer,
         oim_scalar=args.oim_scalar, oim_momentum=args.oim_momentum,

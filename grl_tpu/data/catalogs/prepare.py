@@ -34,12 +34,15 @@ import numpy as np
 from ...utils.serialization import write_json
 
 
-def _extract(tar_path, out_dir):
-    if osp.isdir(out_dir):
+def _extract(tar_path, out_dir, sentinel):
+    """Extract unless ``out_dir/sentinel`` already exists — checking the
+    sentinel (not out_dir) means an interrupted extraction is retried
+    instead of silently yielding an empty dataset."""
+    if osp.isdir(osp.join(out_dir, sentinel)):
         return
     os.makedirs(out_dir, exist_ok=True)
     with tarfile.open(tar_path) as tar:
-        tar.extractall(out_dir)
+        tar.extractall(out_dir, filter="data")  # no path traversal
 
 
 def _relayout(frame_lists, out_dir):
@@ -105,7 +108,7 @@ def prepare_ilidsvid(root, image_tar=None, flow_tar=None):
     if not osp.isdir(osp.join(exdir, "i-LIDS-VID")):
         if not osp.isfile(tar_path):
             raise RuntimeError(f"missing raw data: {tar_path} (or extracted {exdir})")
-        _extract(tar_path, exdir)
+        _extract(tar_path, exdir, "i-LIDS-VID")
 
     identities = _relayout(
         _gather_ilids(osp.join(exdir, "i-LIDS-VID", "sequences")), osp.join(root, "images")
@@ -116,7 +119,7 @@ def prepare_ilidsvid(root, image_tar=None, flow_tar=None):
     flow_dir = osp.join(raw, "Farneback")
     if osp.isfile(flow_tar) or osp.isdir(flow_dir):
         if not osp.isdir(osp.join(flow_dir, "Farneback")):
-            _extract(flow_tar, flow_dir)
+            _extract(flow_tar, flow_dir, "Farneback")
         _relayout(
             _gather_ilids(osp.join(flow_dir, "Farneback")), osp.join(root, "others")
         )
@@ -134,6 +137,12 @@ def prepare_ilidsvid(root, image_tar=None, flow_tar=None):
     splits = []
     for i in range(person_list.shape[0]):
         pids = (np.asarray(person_list[i]).ravel() - 1).tolist()
+        if len(pids) != num or (pids and (min(pids) < 0 or max(pids) >= num)):
+            raise RuntimeError(
+                f"split {i}: .mat lists {len(pids)} pids in [{min(pids)}, "
+                f"{max(pids)}] but {num} identities were gathered — the raw "
+                "tree is missing person directories (dense numbering assumed)"
+            )
         splits.append({
             "trainval": sorted(pids[: num // 2]),
             "query": sorted(pids[num // 2:]),
@@ -151,7 +160,7 @@ def prepare_prid2011(root, image_tar=None, flow_tar=None, num_splits=20, seed=0)
     if not osp.isdir(osp.join(exdir, "prid_2011")):
         if not osp.isfile(tar_path):
             raise RuntimeError(f"missing raw data: {tar_path} (or extracted {exdir})")
-        _extract(tar_path, exdir)
+        _extract(tar_path, exdir, "prid_2011")
 
     identities = _relayout(
         _gather_prid(osp.join(exdir, "prid_2011", "multi_shot")), osp.join(root, "images")
@@ -162,7 +171,7 @@ def prepare_prid2011(root, image_tar=None, flow_tar=None, num_splits=20, seed=0)
     flow_dir = osp.join(raw, "prid2011flow")
     if osp.isfile(flow_tar) or osp.isdir(flow_dir):
         if not osp.isdir(osp.join(flow_dir, "prid2011flow")):
-            _extract(flow_tar, flow_dir)
+            _extract(flow_tar, flow_dir, "prid2011flow")
         _relayout(
             _gather_prid(osp.join(flow_dir, "prid2011flow")), osp.join(root, "others")
         )

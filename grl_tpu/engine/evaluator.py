@@ -39,12 +39,15 @@ def cosine_distance(qf, gf):
 class Evaluator:
     def __init__(
         self, cnn, siamese, only_eval=False, micro_batch=64, rerank=False, visual_dir=None,
-        mesh=None,
+        mesh=None, rerank_k1=20, rerank_k2=6, rerank_lambda=0.3,
     ):
         self.cnn = cnn
         self.siamese = siamese
         self.only_eval = only_eval
         self.rerank = rerank
+        self.rerank_k1 = rerank_k1
+        self.rerank_k2 = rerank_k2
+        self.rerank_lambda = rerank_lambda
         self.visual_dir = visual_dir  # save ranked-result strips (test_all.py --visual)
         self.mesh = mesh  # multi-chip: clips sharded over the batch axis
         if mesh is not None:
@@ -66,6 +69,17 @@ class Evaluator:
 
         return jax.jit(describe)
 
+    def _bucket(self, size):
+        """Smallest jit bucket (micro_batch or its half) covering ``size``:
+        two compiled shapes total, and a 30-clip rrs_test batch pads to 32
+        instead of burning half a 64-wide descriptor call on zeros."""
+        mb = self.micro_batch
+        half = mb // 2
+        if self.mesh is not None:
+            ndev = self.mesh.shape[self.mesh.axis_names[0]]
+            half = -(-half // ndev) * ndev
+        return half if (half > 0 and size <= half) else mb
+
     def describe_clips(self, params, state, clips_u8):
         """(n, S, h, w, 3) uint8 -> (n, 3C) descriptors, fixed-shape chunks."""
         if self._descriptor_fn is None:
@@ -75,7 +89,9 @@ class Evaluator:
         outs = []
         for i in range(0, n, mb):
             chunk = clips_u8[i : i + mb]
-            pad = mb - chunk.shape[0]
+            size = chunk.shape[0]
+            bucket = self._bucket(size)
+            pad = bucket - size
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
             chunk = jnp.asarray(chunk)
@@ -90,7 +106,7 @@ class Evaluator:
             d = self._descriptor_fn(
                 params["cnn"], state["cnn"], params["siamese"], state["siamese"], chunk
             )
-            outs.append(np.asarray(d[: mb - pad if pad else mb]))
+            outs.append(np.asarray(d[:size]))
         return np.concatenate(outs, axis=0)
 
     def extract_features(self, params, state, loader):
@@ -122,16 +138,14 @@ class Evaluator:
         print(f"Done, obtained {gf.shape[0]}-by-{gf.shape[1]} matrix")
 
         print("Computing distance matrix")
-        on_cpu = jax.default_backend() == "cpu"
+        # Pallas min-plus is a TPU kernel: device re-ranking only on tpu
+        # backends; anything else (cpu, gpu) takes the host numpy path.
+        on_tpu = jax.default_backend() == "tpu"
         qf_d, gf_d = jnp.asarray(qf), jnp.asarray(gf)
         distmat = cosine_distance(qf_d, gf_d)
         if self.rerank:
             print("Applying person re-ranking ...")
-            if on_cpu:
-                qq = np.asarray(_euclidean(qf_d, qf_d))
-                gg = np.asarray(_euclidean(gf_d, gf_d))
-                distmat = _re_ranking(np.asarray(distmat), qq, gg)
-            else:
+            if on_tpu:
                 # On-device set algebra + Pallas Jaccard min-sum. The n^2
                 # distance matrices never leave the chip — only features go
                 # up; ranking below also runs on device.
@@ -139,16 +153,26 @@ class Evaluator:
 
                 distmat = re_ranking_device(
                     distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d),
-                    mesh=self.mesh,
+                    k1=self.rerank_k1, k2=self.rerank_k2,
+                    lambda_value=self.rerank_lambda, mesh=self.mesh,
+                )
+            else:
+                qq = np.asarray(_euclidean(qf_d, qf_d))
+                gg = np.asarray(_euclidean(gf_d, gf_d))
+                distmat = _re_ranking(
+                    np.asarray(distmat), qq, gg,
+                    k1=self.rerank_k1, k2=self.rerank_k2,
+                    lambda_value=self.rerank_lambda,
                 )
 
-        if on_cpu and self.mesh is None:
-            cmc_curve, mAP = metrics.evaluate(
-                np.asarray(distmat), q_pids, g_pids, q_camids, g_camids
-            )
-        else:  # device protocol: only the CMC curve + mAP scalars come back
+        if on_tpu or self.mesh is not None:
+            # device protocol: only the CMC curve + mAP scalars come back
             cmc_curve, mAP = metrics.evaluate_device(
                 distmat, q_pids, g_pids, q_camids, g_camids, mesh=self.mesh
+            )
+        else:
+            cmc_curve, mAP = metrics.evaluate(
+                np.asarray(distmat), q_pids, g_pids, q_camids, g_camids
             )
         print("Mean AP: {:4.1%}".format(mAP))
         for r in cmc_topk:

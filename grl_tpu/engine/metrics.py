@@ -68,8 +68,6 @@ def _device_protocol(max_rank):
     """Build the jitted device protocol once per max_rank (module-level
     cache: defining the jit inside evaluate_device would recompile the
     whole program on every call)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 
