@@ -74,19 +74,24 @@ def main(args):
 
 
 def build_parser():
+    # defaults from the typed test_all preset (config.py; reference
+    # test_all.py's intended defaults with its argparse bugs fixed)
+    from ..config import PRESETS
+
+    cfg = PRESETS["test_all"]()
     parser = argparse.ArgumentParser(description="GRL-TPU evaluation")
-    parser.add_argument("-d", "--dataset", type=str, default="mars",
+    parser.add_argument("-d", "--dataset", type=str, default=cfg.data.dataset,
                         choices=["ilidsvidsequence", "prid2011sequence", "mars", "duke", "synthetic"])
-    parser.add_argument("-b", "--batch-size", type=int, default=1)
-    parser.add_argument("-j", "--workers", type=int, default=8)
-    parser.add_argument("--seq_len", type=int, default=8)
-    parser.add_argument("--seq_srd", type=int, default=4)
-    parser.add_argument("--split", type=int, default=0)
-    parser.add_argument("--arch1", type=str, default="resnet50_grl")
-    parser.add_argument("--arch2", type=str, default="siamese")
-    parser.add_argument("--features", type=int, default=2048)
-    parser.add_argument("--dropout", type=float, default=0.0)
-    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("-b", "--batch-size", type=int, default=cfg.data.batch_size)
+    parser.add_argument("-j", "--workers", type=int, default=cfg.data.workers)
+    parser.add_argument("--seq_len", type=int, default=cfg.data.seq_len)
+    parser.add_argument("--seq_srd", type=int, default=cfg.data.seq_srd)
+    parser.add_argument("--split", type=int, default=cfg.data.split)
+    parser.add_argument("--arch1", type=str, default=cfg.model.arch1)
+    parser.add_argument("--arch2", type=str, default=cfg.model.arch2)
+    parser.add_argument("--features", type=int, default=cfg.model.features)
+    parser.add_argument("--dropout", type=float, default=cfg.model.dropout)
+    parser.add_argument("--seed", type=int, default=cfg.seed)
     parser.add_argument("--rerank", type=int, default=0)
     parser.add_argument("--visual", type=int, default=0)
     parser.add_argument("--data-dir", type=str, metavar="PATH", default="")
