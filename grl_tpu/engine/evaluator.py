@@ -148,14 +148,21 @@ class Evaluator:
             if on_tpu:
                 # On-device set algebra + Pallas Jaccard min-sum. The n^2
                 # distance matrices never leave the chip — only features go
-                # up; ranking below also runs on device.
+                # up; ranking below also runs on device. Drop the feature
+                # arrays first: at LS-VID scale the staged re-ranking runs
+                # at the HBM capacity cliff and every stray n-sized buffer
+                # counts (the distance inputs themselves are donated).
                 from .rerank import re_ranking_device
 
+                qq = _euclidean(qf_d, qf_d)
+                gg = _euclidean(gf_d, gf_d)
+                del qf_d, gf_d
                 distmat = re_ranking_device(
-                    distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d),
+                    distmat, qq, gg,
                     k1=self.rerank_k1, k2=self.rerank_k2,
                     lambda_value=self.rerank_lambda, mesh=self.mesh,
                 )
+                del qq, gg
             else:
                 qq = np.asarray(_euclidean(qf_d, qf_d))
                 gg = np.asarray(_euclidean(gf_d, gf_d))

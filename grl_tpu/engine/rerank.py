@@ -48,13 +48,26 @@ def re_ranking_device(
     from ..ops import minplus_matmul
 
     query_num = q_g_dist.shape[0]
-    if (k1, k2) not in _BUILD_V_CACHE:
-        _BUILD_V_CACHE[(k1, k2)] = _make_build_v(k1, k2)
-    _build_v = _BUILD_V_CACHE[(k1, k2)]
+    n_total = query_num + g_g_dist.shape[0]
+    if n_total > 16384:
+        # LS-VID scale: the one-jit builder holds ~6 n^2 fp32 buffers live
+        # (26 GB at n=33k vs 15.75 GB HBM); the staged builder frees each
+        # stage's temporaries and CONSUMES (donates) the input distance
+        # matrices — device-array callers must not reuse them afterwards.
+        v, original_q = _build_v_staged(
+            jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist),
+            k1=k1, k2=k2,
+        )
+        q_g_dist = q_q_dist = g_g_dist = None
+    else:
+        if (k1, k2) not in _BUILD_V_CACHE:
+            _BUILD_V_CACHE[(k1, k2)] = _make_build_v(k1, k2)
+        _build_v = _BUILD_V_CACHE[(k1, k2)]
 
-    v, original = _build_v(
-        jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist)
-    )
+        v, original = _build_v(
+            jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist)
+        )
+        original_q = original[:query_num]
     if mesh is None:
         min_sum = minplus_matmul(v[:query_num], v, interpret=interpret)
     else:
@@ -73,13 +86,117 @@ def re_ranking_device(
             check_vma=False,  # pallas_call outputs carry no vma annotation
         )(vq, v)[:query_num]
     jaccard = 1.0 - min_sum / (2.0 - min_sum)
-    final = jaccard * (1 - lambda_value) + original[:query_num] * lambda_value
+    final = jaccard * (1 - lambda_value) + original_q * lambda_value
     # returned device-resident: downstream CMC/mAP also runs on device, so
     # the (q, g) matrix need never cross the host boundary
     return final[:, query_num:]
 
 
 _BUILD_V_CACHE = {}
+
+
+def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6):
+    """Memory-lean membership-weight builder for galleries too large for
+    the single-jit version: the program is split into stages so XLA frees
+    each stage's n^2 temporaries before the next allocates, the set
+    algebra runs from tiny top-k INDEX matrices (never alongside the
+    distance matrix), counts ride bf16 matmuls (integers ≤ k1+1 are exact
+    in bf16), and the distance buffer is donated into the weight buffer.
+
+    Exact same math as _make_build_v; returns (v, original[:q]).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    q = q_g.shape[0]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def s1_original(q_g, q_q, g_g):
+        original = jnp.concatenate(
+            [
+                jnp.concatenate([q_q, q_g], axis=1),
+                jnp.concatenate([q_g.T, g_g], axis=1),
+            ],
+            axis=0,
+        )
+        original = jnp.square(original).astype(jnp.float32)
+        return (original / jnp.max(original, axis=0)).T
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def s2_topk(original, k):
+        return jax.lax.top_k(-original, k)[1]
+
+    @jax.jit
+    def s3a_reciprocal(idx):
+        # bf16 0/1 adjacency straight from indices, AND'd with its transpose
+        n = idx.shape[0]
+        rows = jnp.arange(n)[:, None]
+        a = jnp.zeros((n, n), jnp.bfloat16).at[rows, idx].set(1.0)
+        return a * a.T
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def s3b_expansion(r, b):
+        # all counts are integers ≤ k1+1: exact in bf16 end-to-end. The
+        # 2/3·|B| threshold is never an eps away from an integer, so the
+        # bf16 compare is exact too.
+        b_sizes = jnp.sum(b, axis=1, dtype=jnp.float32)
+        overlap = jnp.dot(r, b.T, preferred_element_type=jnp.bfloat16)
+        thresh = ((2.0 / 3.0) * b_sizes).astype(jnp.bfloat16)
+        qualifies = r * (overlap > thresh[None, :]).astype(jnp.bfloat16)
+        expanded = jnp.dot(qualifies, b, preferred_element_type=jnp.bfloat16)
+        return (r > 0) | (expanded > 0)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def s4_v(original, expansion):
+        weights = jnp.exp(-original) * expansion
+        return weights / jnp.sum(weights, axis=1, keepdims=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def s5_qexpand(v, idx2):
+        # fori_loop, NOT an unrolled python loop: unrolled, XLA keeps all
+        # k2 full-size gather results live at once (k2 x n^2 fp32 — the
+        # 26 GB OOM at LS-VID scale); the loop holds exactly one.
+        kk = idx2.shape[1]
+
+        def body(j, acc):
+            return acc + v[idx2[:, j]]
+
+        acc = jax.lax.fori_loop(1, kk, body, v[idx2[:, 0]])
+        return acc / kk
+
+    import os
+    _dbg = os.environ.get("GRL_RERANK_DEBUG")
+
+    def sync(x):
+        if _dbg:
+            print("stage sync:", x.shape, x.dtype, flush=True)
+        # serialize the async dispatch queue: without this, later stages'
+        # outputs allocate while earlier stages' n^2 temporaries are still
+        # live and the chain exhausts HBM even though every stage fits.
+        # (block_until_ready is not a true barrier on the axon tunnel —
+        # only a host materialization is. Index, don't ravel: ravel would
+        # materialize a full n^2 copy just to read one element.)
+        jax.device_get(x[(0,) * x.ndim])
+        return x
+
+    original = sync(s1_original(q_g, q_q, g_g))
+    del q_g, q_q, g_g  # donated into s1
+    half = int(np.around(k1 / 2.0)) + 1
+    idx_k1 = sync(s2_topk(original, k=k1 + 1))
+    idx_half = sync(s2_topk(original, k=half))
+    idx_2 = sync(s2_topk(original, k=k2)) if k2 != 1 else None
+    original_q = jnp.array(original[:q])  # materialize before donation
+    r = sync(s3a_reciprocal(idx_k1))
+    b = sync(s3a_reciprocal(idx_half))
+    expansion = sync(s3b_expansion(r, b))
+    del r, b
+    v = sync(s4_v(original, expansion))
+    del original, expansion  # original donated into weights; expansion dead
+    if k2 != 1:
+        v = sync(s5_qexpand(v, idx_2))
+    return v, original_q
 
 
 def _make_build_v(k1, k2):
@@ -128,9 +245,11 @@ def _make_build_v(k1, k2):
 
         if k2 != 1:
             _, idx2 = jax.lax.top_k(-original, k2)
-            acc = v[idx2[:, 0]]
-            for j in range(1, k2):  # accumulated gathers: no (n, k2, n) blow-up
-                acc = acc + v[idx2[:, j]]
+            # fori_loop keeps ONE gather buffer live (unrolled, XLA holds
+            # all k2 full-size gather results simultaneously)
+            acc = jax.lax.fori_loop(
+                1, k2, lambda j, acc: acc + v[idx2[:, j]], v[idx2[:, 0]]
+            )
             v = acc / k2
         return v, original
 

@@ -66,3 +66,17 @@ def test_device_evaluate_raises_when_no_valid_query():
     cams_g = np.ones(4, np.int32)
     with pytest.raises(RuntimeError):
         metrics.evaluate_device(distmat, q_pids, g_pids, cams_q, cams_g)
+
+
+def test_staged_build_v_matches_single_jit():
+    """The memory-lean staged builder (LS-VID scale path) is numerically
+    identical to the single-jit builder."""
+    import jax.numpy as jnp
+
+    import grl_tpu.engine.rerank as rr
+
+    qg, qq, gg = _synthetic_dists(25, 90)
+    v_ref, orig = rr._make_build_v(20, 6)(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
+    v_st, orig_q = rr._build_v_staged(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
+    np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(orig_q), np.asarray(orig)[:25], rtol=1e-6)
