@@ -90,10 +90,14 @@ class _Direction(Module):
     def init(self, rng):
         return init_children(rng, self.children)
 
-    def scan(self, params, state, x_corr, x_uncorr, *, training=False):
+    def scan(self, params, state, x_corr, x_uncorr, *, training=False, reverse=False):
         """Run the recurrence over time.
 
         x_corr / x_uncorr: (t, b, h, w, c) — time-major for lax.scan.
+        ``reverse=True`` runs the backward temporal direction natively
+        (lax.scan iterates last-to-first and writes each step's output at
+        its own time position — already frame-aligned, so no reversed
+        copies of the 0.5 GB clip tensors are ever materialized).
         Returns (f_steps (t, b, c), final_memo (b, h, w, c), new_state).
         """
         c = self.children
@@ -125,7 +129,7 @@ class _Direction(Module):
             return (new_memo, new_bn), f_step
 
         (memo_final, memo_state_new), f_steps = jax.lax.scan(
-            step, (memo0, state["memo"]), (f2_all, xc_mean, x_uncorr)
+            step, (memo0, state["memo"]), (f2_all, xc_mean, x_uncorr), reverse=reverse
         )
         return f_steps, memo_final, {**state, "memo": memo_state_new}
 
@@ -155,10 +159,13 @@ class TRLBlock(Module):
         f_fwd, memo_f, ns_f = self.children["fwd"].scan(
             params["fwd"], state["fwd"], xc, xu, training=training
         )
+        # reverse=True runs the backward direction over the SAME clip
+        # tensors (no reversed copies) and emits features already in frame
+        # order — the reference's explicit re-reversal (:170-173) is the
+        # identity here.
         f_bwd, memo_b, ns_b = self.children["bwd"].scan(
-            params["bwd"], state["bwd"], xc[::-1], xu[::-1], training=training
+            params["bwd"], state["bwd"], xc, xu, training=training, reverse=True
         )
-        # Align backward steps to frame order (reference :170-173).
-        f_corr = jnp.moveaxis(f_fwd + f_bwd[::-1], 0, 1)
+        f_corr = jnp.moveaxis(f_fwd + f_bwd, 0, 1)
         f_uncorr = jnp.mean(memo_f, axis=(1, 2)) + jnp.mean(memo_b, axis=(1, 2))
         return (f_uncorr, f_corr), {"fwd": ns_f, "bwd": ns_b}
