@@ -126,7 +126,8 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6):
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def s2_topk(original, k):
-        return jax.lax.top_k(-original, k)[1]
+        # numpy's rank[:, :k] silently clamps when k > n; match it
+        return jax.lax.top_k(-original, min(k, original.shape[1]))[1]
 
     @jax.jit
     def s3a_reciprocal(idx):
@@ -220,7 +221,8 @@ def _make_build_v(k1, k2):
         rows = jnp.arange(n)[:, None]
 
         def topk_adj(k):
-            _, idx = jax.lax.top_k(-original, k)
+            # numpy's rank[:, :k] silently clamps when k > n; match it
+            _, idx = jax.lax.top_k(-original, min(k, n))
             return jnp.zeros((n, n), bool).at[rows, idx].set(True)
 
         reciprocal = topk_adj(k1 + 1)
@@ -244,7 +246,7 @@ def _make_build_v(k1, k2):
         v = weights / jnp.sum(weights, axis=1, keepdims=True)
 
         if k2 != 1:
-            _, idx2 = jax.lax.top_k(-original, k2)
+            _, idx2 = jax.lax.top_k(-original, min(k2, n))
             # fori_loop keeps ONE gather buffer live (unrolled, XLA holds
             # all k2 full-size gather results simultaneously)
             acc = jax.lax.fori_loop(

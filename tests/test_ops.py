@@ -80,3 +80,13 @@ def test_staged_build_v_matches_single_jit():
     v_st, orig_q = rr._build_v_staged(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
     np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(orig_q), np.asarray(orig)[:25], rtol=1e-6)
+
+
+def test_device_rerank_tiny_gallery_clamps_topk():
+    """Galleries smaller than k1+1 must not crash (numpy's rank[:, :k]
+    silently clamps; lax.top_k would raise) — found by the evaluate CLI
+    on a toy dataset."""
+    qg, qq, gg = _synthetic_dists(4, 9)  # n = 13 < k1+1 = 21
+    ref = re_ranking(qg, qq, gg)
+    dev = np.asarray(re_ranking_device(qg, qq, gg, interpret=True))
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
