@@ -24,10 +24,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # fp32 tiles: sublane multiple of 8, lane multiple of 128. Lane-axis
-# slices must be 128-aligned, so the contraction chunk is 128 wide and the
-# A-row tile shrinks to keep the (TM, TK_INNER, TN) broadcast in VMEM (2MB).
-_TM = 32    # rows of A per program
-_TN = 128   # rows of B per program
+# slices must be 128-aligned, so the contraction chunk is 128 wide. The
+# B-row (lane) tile is the throughput lever: measured on v5e at MARS scale
+# (1980x11310 x 11310), TN 128 -> 1.19s, 512 -> 0.33s, 2048 -> 0.17s
+# (VPU-saturated; wider is flat). Mosaic pipelines the (TM, TKI, TN)
+# broadcast without materializing it.
+_TM = 64    # rows of A per program
+_TN = 2048  # rows of B per program (lane axis)
 _TK = 512   # contraction slab per program
 _TK_INNER = 128
 
