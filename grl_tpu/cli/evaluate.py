@@ -62,12 +62,20 @@ def main(args):
     state = state_to_device(state)
 
     from ..config import ExperimentConfig
+    from ..parallel import auto_mesh
+
+    # all local devices share the dense-extraction load (the reference's
+    # DataParallel eval default, test_all.py:81)
+    mesh = auto_mesh(limit=args.devices or None)
+    if mesh is not None:
+        print(f"data-parallel mesh over {mesh.devices.size} devices")
 
     cfg = ExperimentConfig.from_args(args)
     evaluator = Evaluator(cnn, siamese, only_eval=True, rerank=bool(args.rerank),
                           micro_batch=cfg.eval.micro_batch, rerank_k1=cfg.eval.rerank_k1,
                           rerank_k2=cfg.eval.rerank_k2, rerank_lambda=cfg.eval.rerank_lambda,
-                          visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None)
+                          visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None,
+                          mesh=mesh)
     top1 = evaluator.evaluate(state["params"], state["model_state"], query_loader, gallery_loader)
     print("rank-1 accuracy is", top1)
     return top1
@@ -99,6 +107,8 @@ def build_parser():
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="cap the data-parallel device count (0 = all local devices)")
     return parser
 
 

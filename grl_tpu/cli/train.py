@@ -89,6 +89,17 @@ def main(args):
         dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
     )
 
+    # default data parallelism over all local devices (the reference's
+    # nn.DataParallel default, mars_train.py:80): state replicated, the
+    # batch's pair axis sharded, XLA inserts the gradient psum over ICI
+    from ..parallel import auto_mesh, replicate
+
+    limit = args.devices or None
+    mesh = (auto_mesh(limit=limit) if args.evaluate
+            else auto_mesh(pairs=args.batch_size // 2, limit=limit))
+    if mesh is not None:
+        print(f"data-parallel mesh over {mesh.devices.size} devices")
+
     cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
     optimizer = SGD(momentum=args.momentum, weight_decay=args.weight_decay, nesterov=True)
     train_state = init_train_state(
@@ -121,7 +132,8 @@ def main(args):
     evaluator = Evaluator(cnn, siamese, only_eval=bool(args.evaluate), rerank=bool(args.rerank),
                           micro_batch=cfg.eval.micro_batch, rerank_k1=cfg.eval.rerank_k1,
                           rerank_k2=cfg.eval.rerank_k2, rerank_lambda=cfg.eval.rerank_lambda,
-                          visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None)
+                          visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None,
+                          mesh=mesh)
 
     if args.evaluate:
         train_state, _ = load_train_state(train_state, osp.join(args.logs_dir, best_path))
@@ -140,7 +152,9 @@ def main(args):
         cnn, siamese, siamese_uncorr, optimizer,
         oim_scalar=args.oim_scalar, oim_momentum=args.oim_momentum,
     )
-    trainer = Trainer(step_fn, writer, seed=args.seed)
+    if mesh is not None:
+        train_state = replicate(train_state, mesh)
+    trainer = Trainer(step_fn, writer, seed=args.seed, mesh=mesh)
 
     for epoch in range(start_epoch, args.epochs):
         lr = step_decay_lr(args.lr, epoch, args.lr_step)
@@ -215,6 +229,8 @@ def build_parser():
                         help=".npz of torchvision ImageNet resnet50 weights")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also write TensorBoard event files (tensorboardX)")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="cap the data-parallel device count (0 = all local devices)")
     return parser
 
 

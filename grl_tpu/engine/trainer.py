@@ -18,11 +18,16 @@ from ..utils.meters import AverageMeter
 
 
 class Trainer:
-    def __init__(self, train_step, scalar_writer=None, print_freq=100, seed=0):
+    def __init__(self, train_step, scalar_writer=None, print_freq=100, seed=0, mesh=None):
         self.train_step = train_step
         self.writer = scalar_writer
         self.print_freq = print_freq
         self.rng = jax.random.PRNGKey(seed)
+        # data-parallel mesh (parallel/mesh.py): the uint8 batch is sharded
+        # over its pair axis before the on-device augment, so augmentation
+        # and the train step both run SPMD; train_state must already be
+        # replicated by the caller
+        self.mesh = mesh
 
     def train(self, epoch, train_state, loader, lr):
         batch_time = AverageMeter()
@@ -38,8 +43,14 @@ class Trainer:
             data_time.update(time.time() - end)
 
             self.rng, aug_rng = jax.random.split(self.rng)
-            clips = augment(aug_rng, jnp.asarray(clips_u8), train=True)
+            clips_u8 = jnp.asarray(clips_u8)
             targets = jnp.asarray(pids)
+            if self.mesh is not None:
+                from ..parallel import shard_batch
+
+                clips_u8 = shard_batch(clips_u8, self.mesh)
+                targets = shard_batch(targets, self.mesh)
+            clips = augment(aug_rng, clips_u8, train=True)
 
             train_state, m = self.train_step(train_state, clips, targets, lr)
 

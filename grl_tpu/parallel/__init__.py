@@ -1,6 +1,7 @@
 """SPMD scale-out over a jax.sharding.Mesh."""
 
 from .mesh import (
+    auto_mesh,
     data_mesh,
     replicate,
     shard_batch,
@@ -9,6 +10,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "auto_mesh",
     "data_mesh",
     "replicate",
     "shard_batch",

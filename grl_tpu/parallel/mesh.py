@@ -37,6 +37,29 @@ def data_mesh(n_devices=None, axis="data"):
     return Mesh(np.asarray(devices), (axis,))
 
 
+def auto_mesh(pairs=None, axis="data", limit=None):
+    """Default data-parallel mesh for the CLIs (None on a single device).
+
+    This is the TPU-native stand-in for the reference's implicit
+    ``nn.DataParallel(model)`` default (mars_train.py:80, test_all.py:81):
+    a user on a multi-chip host gets all chips without asking. When
+    ``pairs`` (= train batch_size // 2) is given, the mesh uses the largest
+    device count that divides it, so shards hold whole (anchor, positive)
+    pairs — the layout contract the Siamese pair split relies on.
+    ``limit`` caps the device count (CLI ``--devices``; 1 forces
+    single-device execution).
+    """
+    ndev = len(jax.devices())
+    if limit:
+        ndev = min(ndev, limit)
+    if pairs is not None:
+        while ndev > 1 and pairs % ndev != 0:
+            ndev -= 1
+    if ndev < 2:
+        return None
+    return data_mesh(ndev, axis=axis)
+
+
 def replicate(tree, mesh):
     """Replicate every leaf of a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -1,0 +1,120 @@
+"""End-to-end CLI tests: the reference's whole purpose is the
+train -> periodic-eval -> checkpoint -> resume -> standalone-eval loop
+(mars_train.py:130-142, test_all.py:49-92). These drive the actual
+``main()`` entry points on the synthetic dataset, single-device and on the
+virtual 8-device mesh."""
+
+import os.path as osp
+import re
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from grl_tpu.cli.evaluate import build_parser as eval_parser
+from grl_tpu.cli.evaluate import main as eval_main
+from grl_tpu.cli.train import build_parser as train_parser
+from grl_tpu.cli.train import main as train_main
+
+
+def run_train(tmp, logs, extra=()):
+    argv = [
+        "-d", "synthetic", "--tiny", "-b", "4", "--seq_len", "2", "-j", "2",
+        "--logs-dir", str(logs), *extra,
+    ]
+    args = train_parser().parse_args(argv)
+    stdout = sys.stdout
+    try:
+        return train_main(args)
+    finally:
+        sys.stdout = stdout
+
+
+def epoch_losses(logfile):
+    pat = re.compile(r"^epoch (\d+): loss ([0-9.]+)")
+    out = {}
+    with open(logfile) as f:
+        for line in f:
+            m = pat.match(line)
+            if m:
+                out[int(m.group(1))] = float(m.group(2))
+    return out
+
+
+def test_train_checkpoint_resume_evaluate_visual(tmp_path):
+    logs = tmp_path / "run"
+
+    # 2 epochs -> periodic eval fires at the final epoch -> checkpoints
+    top1 = run_train(tmp_path, logs, ["--epochs", "2"])
+    assert 0.0 <= top1 <= 1.0
+    ckpt = logs / "checkpoint.npz"
+    best = logs / "checkpoint_best.npz"
+    assert ckpt.exists() and best.exists()
+
+    state = np.load(ckpt, allow_pickle=False)
+    assert int(state["extra_epoch"]) == 2
+
+    # resume continues the epoch counter and rewrites the checkpoint
+    run_train(tmp_path, logs, ["--epochs", "3", "--resume", str(ckpt)])
+    losses = epoch_losses(logs / "log_train1.txt")
+    assert list(losses) == [2], f"resume should train exactly epoch 2, got {losses}"
+    state = np.load(ckpt, allow_pickle=False)
+    assert int(state["extra_epoch"]) == 3
+
+    # standalone eval loads checkpoint_best and reports CMC/mAP (+ strips)
+    argv = [
+        "-d", "synthetic", "--tiny", "--seq_len", "2", "-j", "2",
+        "--logs-dir", str(logs), "--visual", "1",
+    ]
+    args = eval_parser().parse_args(argv)
+    stdout = sys.stdout
+    try:
+        top1_eval = eval_main(args)
+    finally:
+        sys.stdout = stdout
+    assert 0.0 <= top1_eval <= 1.0
+
+    log = (logs / "log_test0.txt").read_text()
+    assert "Mean AP" in log and "Rank-1" in log
+    visual = logs / "visual"
+    assert visual.exists() and any(visual.iterdir()), "no ranked strips written"
+
+
+def step_losses(logs):
+    import json
+
+    out = {}
+    with open(logs / "train_log" / "scalars.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["tag"] == "train/total_loss_step":
+                out[rec["step"]] = rec["value"]
+    return out
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cli_train_mesh_matches_single_device(tmp_path):
+    """The mesh path (auto data-parallel over the virtual devices) must
+    reproduce the single-device semantics through the full CLI. The first
+    steps must agree to float noise; past that, SGD chaotically amplifies
+    the SPMD reduction-order noise (measured: bit-identical at step 0,
+    ~1e-4 by step 3, O(1) by step 5 — same behavior as any DP framework),
+    so the trajectory check is step-local, plus both runs completing the
+    train->eval->checkpoint loop with sane metrics."""
+    single = tmp_path / "single"
+    mesh = tmp_path / "mesh"
+    # batch 8 = 4 pairs -> auto_mesh picks 4 devices
+    t1 = run_train(tmp_path, single, ["--epochs", "1", "-b", "8", "--devices", "1"])
+    t2 = run_train(tmp_path, mesh, ["--epochs", "1", "-b", "8"])
+
+    log2 = (mesh / "log_train0.txt").read_text()
+    assert "data-parallel mesh over 4 devices" in log2
+
+    s1, s2 = step_losses(single), step_losses(mesh)
+    assert list(s1) == list(s2) and len(s1) >= 2
+    steps = sorted(s1)
+    assert abs(s1[steps[0]] - s2[steps[0]]) < 1e-4, "step-0 loss must match"
+    assert abs(s1[steps[1]] - s2[steps[1]]) < 1e-2, "step-1 loss must match"
+    assert 0.0 <= t1 <= 1.0 and 0.0 <= t2 <= 1.0
+    assert (mesh / "checkpoint_best.npz").exists()
