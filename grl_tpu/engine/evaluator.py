@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,39 @@ from .rerank import re_ranking as _re_ranking
 def cosine_distance(qf, gf):
     """Negative cosine similarity (features are L2-normalized)."""
     return -jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
+
+
+# module-level jits (per-call definitions recompile every step — CLAUDE.md).
+# These keep descriptor accumulation device-resident: the only host pulls in
+# the whole eval are the CMC/mAP scalars.
+
+
+@jax.jit
+def _masked_sum_rows(d, size):
+    """Sum the first ``size`` rows of (bucket, C) — dense-clip partial sum."""
+    mask = jnp.arange(d.shape[0]) < size
+    return jnp.sum(jnp.where(mask[:, None], d, 0.0), axis=0)
+
+
+@jax.jit
+def _add(a, b):
+    return a + b
+
+
+@jax.jit
+def _mean_row(total, n):
+    return (total / n)[None, :]
+
+
+@partial(jax.jit, donate_argnums=0)
+def _write_rows(buf, rows, offset):
+    """Write ``rows`` into the donated feature buffer at row ``offset``.
+
+    ``offset`` is a traced scalar so every tracklet reuses one compiled
+    program; the buffer is oversized by one bucket so a final padded chunk
+    can spill into scratch rows that are trimmed afterwards.
+    """
+    return jax.lax.dynamic_update_slice(buf, rows, (offset, 0))
 
 
 class Evaluator:
@@ -81,7 +115,8 @@ class Evaluator:
         return half if (half > 0 and size <= half) else mb
 
     def describe_clips(self, params, state, clips_u8):
-        """(n, S, h, w, 3) uint8 -> (n, 3C) descriptors, fixed-shape chunks."""
+        """(n, S, h, w, 3) uint8 -> list of ((bucket, 3C) device array,
+        valid row count) descriptor chunks. Chunks stay on device."""
         if self._descriptor_fn is None:
             self._descriptor_fn = self._build_descriptor()
         n = clips_u8.shape[0]
@@ -106,23 +141,47 @@ class Evaluator:
             d = self._descriptor_fn(
                 params["cnn"], state["cnn"], params["siamese"], state["siamese"], chunk
             )
-            outs.append(np.asarray(d[:size]))
-        return np.concatenate(outs, axis=0)
+            outs.append((d, size))
+        return outs
 
     def extract_features(self, params, state, loader):
-        """Loader -> (features (N, 3C), pids, camids); dense tracklets are
-        clip-averaged (attevaluator.py:84,95)."""
-        feats, pids, camids = [], [], []
+        """Loader -> (features (N, 3C) DEVICE array, pids, camids); dense
+        tracklets are clip-averaged (attevaluator.py:84,95).
+
+        Features accumulate into a preallocated device buffer via a donated
+        dynamic_update_slice — they never round-trip the host (at MARS
+        scale that round-trip was ~556 MB over a 20-35 MB/s tunnel).
+        """
+        n_items = len(loader.dataset)
+        pids, camids = [], []
+        buf = None
+        offset = 0
+        dense = loader.dataset.sample == "dense"
         for clips, pid, camid in loader:
-            if loader.dataset.sample == "dense":
-                d = self.describe_clips(params, state, clips)
-                feats.append(d.mean(axis=0, keepdims=True))
+            chunks = self.describe_clips(params, state, clips)
+            if dense:
+                total = None
+                for d, size in chunks:
+                    s = _masked_sum_rows(d, np.int32(size))
+                    total = s if total is None else _add(total, s)
+                rows_list = [(_mean_row(total, np.float32(clips.shape[0])), 1)]
             else:
-                d = self.describe_clips(params, state, clips)
-                feats.append(d)
+                rows_list = chunks
+            for rows, size in rows_list:
+                if buf is None:
+                    # oversized by one bucket so padded tail chunks can
+                    # spill into scratch rows (trimmed below)
+                    buf = jnp.zeros((n_items + rows.shape[0], rows.shape[1]), rows.dtype)
+                    if self.mesh is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec as P
+
+                        buf = jax.device_put(buf, NamedSharding(self.mesh, P()))
+                buf = _write_rows(buf, rows, np.int32(offset))
+                offset += size
             pids.extend(np.atleast_1d(pid).tolist())
             camids.extend(np.atleast_1d(camid).tolist())
-        return np.concatenate(feats, axis=0), np.asarray(pids), np.asarray(camids)
+        assert offset == n_items, f"extracted {offset} rows, expected {n_items}"
+        return buf[:n_items], np.asarray(pids), np.asarray(camids)
 
     # -- full protocol ---------------------------------------------------
 
@@ -131,8 +190,9 @@ class Evaluator:
         qf, q_pids, q_camids = self.extract_features(params, state, query_loader)
         print(f"Done, obtained {qf.shape[0]}-by-{qf.shape[1]} matrix")
         gf, g_pids, g_camids = self.extract_features(params, state, gallery_loader)
-        # gallery includes the queries (attevaluator.py:143-145)
-        gf = np.concatenate([qf, gf], axis=0)
+        # gallery includes the queries (attevaluator.py:143-145); the concat
+        # happens on device — features never visit the host
+        gf = jnp.concatenate([qf, gf], axis=0)
         g_pids = np.append(q_pids, g_pids)
         g_camids = np.append(q_camids, g_camids)
         print(f"Done, obtained {gf.shape[0]}-by-{gf.shape[1]} matrix")
@@ -141,7 +201,7 @@ class Evaluator:
         # Pallas min-plus is a TPU kernel: device re-ranking only on tpu
         # backends; anything else (cpu, gpu) takes the host numpy path.
         on_tpu = jax.default_backend() == "tpu"
-        qf_d, gf_d = jnp.asarray(qf), jnp.asarray(gf)
+        qf_d, gf_d = qf, gf
         distmat = cosine_distance(qf_d, gf_d)
         if self.rerank:
             print("Applying person re-ranking ...")
