@@ -26,12 +26,13 @@ from ..engine.optim import SGD
 from ..engine.train_step import init_train_state
 from ..utils import Logger
 from ..utils.serialization import load_train_state
-from .train import build_models, state_to_device
+from .train import build_models, state_to_device, validate_args
 
 
 def main(args):
     from ..utils.profiling import enable_compilation_cache
 
+    validate_args(args)
     enable_compilation_cache()
     run = 0
     while osp.exists(osp.join(args.logs_dir, f"log_test{run}.txt")):

@@ -192,6 +192,7 @@ def get_data(
     eval_batch=30,
     seed=0,
     dataset_kwargs=None,
+    train_sample="rrs_train",
 ):
     """Build (dataset, num_classes, train_loader, query_loader, gallery_loader)
     — the reference's get_data surface (reid/data/dataloader.py:12-81)."""
@@ -217,7 +218,7 @@ def get_data(
     else:
         if batch_size % 2 != 0:
             raise ValueError("train batch_size must be even (anchor/positive pairs)")
-        train_set = ClipDataset(train_list, seq_len, "rrs_train", height, width, seed=seed)
+        train_set = ClipDataset(train_list, seq_len, train_sample, height, width, seed=seed)
         train_loader = ClipLoader(
             train_set,
             batch_size=batch_size,

@@ -11,11 +11,18 @@ and BatchNorm1d on (N, C) feature heads. Parity points with torch defaults:
 
 Statistics are always accumulated in float32 regardless of compute dtype.
 
-Under data parallelism this computes *per-shard* batch statistics when the
-batch axis is sharded — the same quirk as the reference's two-GPU
-``nn.DataParallel`` (SURVEY.md §7 "BatchNorm everywhere"). Pass
-``axis_name`` to instead sync stats across the mesh (strictly better for
-training quality; off by default for reference parity).
+Under the framework's data parallelism (sharded batch into one jitted
+step — parallel/mesh.py) the ``jnp.mean`` here reduces over the *global*
+batch: XLA inserts the cross-shard collective, so sharded and
+single-device training see identical statistics (proven by
+tests/test_sharding.py::test_batchnorm_global_stats_under_sharding and
+the step-equivalence test). This is strictly better than the reference's
+``nn.DataParallel``, which silently uses per-replica stats; the divergence
+is accepted per SURVEY.md §7 ("BatchNorm everywhere") — replicating the
+per-replica quirk would require ``shard_map`` with no ``axis_name`` here,
+which nothing in this codebase does. ``axis_name`` only matters inside
+``pmap``/``shard_map`` bodies, where per-shard stats would otherwise be
+computed; it is unused on the jit-SPMD path.
 """
 
 from __future__ import annotations

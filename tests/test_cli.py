@@ -81,6 +81,33 @@ def test_train_checkpoint_resume_evaluate_visual(tmp_path):
     assert visual.exists() and any(visual.iterdir()), "no ranked strips written"
 
 
+def test_unsupported_flags_rejected():
+    """Accepted-but-ignored flags are a user trap — unsupported values must
+    error loudly (--loss xentropy silently trained with OIM before)."""
+    from grl_tpu.cli.train import validate_args
+
+    base = ["-d", "synthetic", "--tiny"]
+    for extra in (
+        ["--loss", "xentropy"],
+        ["--dropout", "0.5"],
+        ["--sampling-rate", "5"],
+        ["--features", "512"],  # GRL arch: feature width fixed at 2048
+    ):
+        args = train_parser().parse_args(base + extra)
+        with pytest.raises(SystemExit):
+            validate_args(args)
+    # supported values pass
+    validate_args(train_parser().parse_args(base + ["--sample_method", "random"]))
+    validate_args(train_parser().parse_args(
+        base + ["--arch1", "resnet50", "--features", "512"]))
+
+
+def test_sample_method_random_trains(tmp_path):
+    logs = tmp_path / "rand"
+    top1 = run_train(tmp_path, logs, ["--epochs", "1", "--sample_method", "random"])
+    assert 0.0 <= top1 <= 1.0
+
+
 def step_losses(logs):
     import json
 

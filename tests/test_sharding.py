@@ -65,6 +65,40 @@ def test_sharded_step_matches_single_device():
     )
 
 
+def test_batchnorm_global_stats_under_sharding():
+    """BN inside a jitted step sees GLOBAL batch statistics when the batch
+    axis is sharded (XLA inserts the collective) — the semantics nn/norm.py
+    documents. Shards get deliberately different distributions so per-shard
+    stats would visibly diverge from the global ones."""
+    from grl_tpu.nn import BatchNorm
+
+    bn = BatchNorm(3)
+    params, state = bn.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    # each of the 8 shard-blocks has a different mean/scale
+    x = np.concatenate(
+        [rng.randn(2, 3).astype(np.float32) * (i + 1) + 3.0 * i for i in range(8)]
+    )
+
+    @jax.jit
+    def step(p, s, x):
+        return bn.apply(p, s, x, training=True)
+
+    y_ref, st_ref = step(params, state, jnp.asarray(x))
+
+    mesh = data_mesh(8)
+    y_sh, st_sh = step(replicate(params, mesh), replicate(state, mesh),
+                       shard_batch(jnp.asarray(x), mesh))
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_sh["mean"]), np.asarray(st_ref["mean"]), rtol=1e-5, atol=1e-6
+    )
+    # and the global stats really differ from any single shard's stats
+    shard0 = x[:2]
+    assert not np.allclose(shard0.mean(0), x.mean(0), atol=0.1)
+
+
 def test_sharded_cosine_distance():
     mesh = data_mesh(8)
     rng = np.random.RandomState(1)
