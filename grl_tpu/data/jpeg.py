@@ -7,12 +7,11 @@ GIL, so the loader's thread pool decodes concurrently — the reason the
 reference needed multi-process DataLoader workers (dataloader.py:36,74)
 goes away.
 
-Decode output is bit-identical to PIL (both sit on libjpeg). The native
-resize is plain 4-tap bilinear, whereas PIL's BILINEAR applies an
-antialiasing convolution when downscaling — a no-op concern for MARS/Duke
-whose frames are stored at the target 256x128 (decode path hits the memcpy
-branch); for datasets that need real resizing the PIL fallback can be
-forced by deleting native/libgrljpeg.so.
+Decode output is bit-identical to PIL (both sit on libjpeg), and the
+native resize implements PIL's antialiased separable triangle-filter
+resample in the same 8.22 fixed point, so resized output is bit-identical
+to ``PIL.Image.resize(..., BILINEAR)`` on both up- and downscale
+(tests/test_data.py::test_native_resize_matches_pil).
 """
 
 from __future__ import annotations

@@ -170,12 +170,15 @@ class ClipLoader:
                 yield item
         finally:
             stop.set()
-            # drain so the producer can exit
+            # Keep draining until the producer thread has actually exited:
+            # a single drain-until-Empty pass races with a producer blocked
+            # in q.put re-filling the queue between checks.
             while thread.is_alive():
                 try:
-                    q.get_nowait()
+                    q.get(timeout=0.05)
                 except queue.Empty:
-                    break
+                    pass
+            thread.join()
 
 
 def get_data(

@@ -15,6 +15,7 @@
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -63,36 +64,112 @@ bool decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
   return true;
 }
 
-// Bilinear resize matching PIL's convention (pixel-center aligned).
+// Separable triangle-filter (bilinear) resample following PIL's
+// convention: the filter support scales with the downscale factor
+// (antialiasing), coefficients are normalized per output pixel and
+// applied in 8.22 fixed point, horizontal pass then vertical pass —
+// so output matches PIL.Image.resize(..., BILINEAR) on both up- and
+// downscale (RandomSizedRectCrop / RectScale parity for datasets whose
+// frames are not stored at the target size).
+
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t clip8(int64_t v) {
+  v >>= kPrecisionBits;
+  if (v < 0) return 0;
+  if (v > 255) return 255;
+  return static_cast<uint8_t>(v);
+}
+
+double triangle_filter(double x) {
+  if (x < 0.0) x = -x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// Per-output-pixel source window + normalized fixed-point coefficients.
+void precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                       std::vector<int>* kk, int* ksize_out) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = filterscale;  // triangle filter support = 1.0
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  bounds->assign(static_cast<size_t>(out_size) * 2, 0);
+  kk->assign(static_cast<size_t>(out_size) * ksize, 0);
+  std::vector<double> w(ksize);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double ww = 0.0;
+    const double ss = 1.0 / filterscale;
+    for (int x = 0; x < xmax; ++x) {
+      w[x] = triangle_filter((x + xmin - center + 0.5) * ss);
+      ww += w[x];
+    }
+    int* k = kk->data() + static_cast<size_t>(xx) * ksize;
+    for (int x = 0; x < xmax; ++x) {
+      const double v = ww == 0.0 ? 0.0 : w[x] / ww;
+      k[x] = v < 0 ? static_cast<int>(-0.5 + v * (1 << kPrecisionBits))
+                   : static_cast<int>(0.5 + v * (1 << kPrecisionBits));
+    }
+    (*bounds)[static_cast<size_t>(xx) * 2] = xmin;
+    (*bounds)[static_cast<size_t>(xx) * 2 + 1] = xmax;
+  }
+  *ksize_out = ksize;
+}
+
 void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
                      int dw) {
-  const float sy = static_cast<float>(sh) / dh;
-  const float sx = static_cast<float>(sw) / dw;
-  for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
-    if (y0 > sh - 1) y0 = sh - 1;
-    int y1 = y0 + 1 > sh - 1 ? sh - 1 : y0 + 1;
-    float wy = fy - y0;
-    if (wy < 0) wy = 0;
+  // horizontal pass: (sh, sw) -> (sh, dw)
+  std::vector<int> hb, hk;
+  int hks = 0;
+  precompute_coeffs(sw, dw, &hb, &hk, &hks);
+  std::vector<uint8_t> tmp(static_cast<size_t>(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
+    uint8_t* orow = tmp.data() + static_cast<size_t>(y) * dw * 3;
     for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
-      if (x0 > sw - 1) x0 = sw - 1;
-      int x1 = x0 + 1 > sw - 1 ? sw - 1 : x0 + 1;
-      float wx = fx - x0;
-      if (wx < 0) wx = 0;
-      for (int c = 0; c < 3; ++c) {
-        const float v00 = src[(static_cast<size_t>(y0) * sw + x0) * 3 + c];
-        const float v01 = src[(static_cast<size_t>(y0) * sw + x1) * 3 + c];
-        const float v10 = src[(static_cast<size_t>(y1) * sw + x0) * 3 + c];
-        const float v11 = src[(static_cast<size_t>(y1) * sw + x1) * 3 + c];
-        const float top = v00 + (v01 - v00) * wx;
-        const float bot = v10 + (v11 - v10) * wx;
-        float v = top + (bot - top) * wy;
-        dst[(static_cast<size_t>(y) * dw + x) * 3 + c] =
-            static_cast<uint8_t>(v + 0.5f);
+      const int xmin = hb[static_cast<size_t>(x) * 2];
+      const int xmax = hb[static_cast<size_t>(x) * 2 + 1];
+      const int* k = hk.data() + static_cast<size_t>(x) * hks;
+      int64_t acc[3] = {1 << (kPrecisionBits - 1), 1 << (kPrecisionBits - 1),
+                        1 << (kPrecisionBits - 1)};
+      for (int i = 0; i < xmax; ++i) {
+        const uint8_t* px = row + static_cast<size_t>(xmin + i) * 3;
+        acc[0] += static_cast<int64_t>(px[0]) * k[i];
+        acc[1] += static_cast<int64_t>(px[1]) * k[i];
+        acc[2] += static_cast<int64_t>(px[2]) * k[i];
       }
+      orow[x * 3 + 0] = clip8(acc[0]);
+      orow[x * 3 + 1] = clip8(acc[1]);
+      orow[x * 3 + 2] = clip8(acc[2]);
+    }
+  }
+  // vertical pass: (sh, dw) -> (dh, dw)
+  std::vector<int> vb, vk;
+  int vks = 0;
+  precompute_coeffs(sh, dh, &vb, &vk, &vks);
+  for (int y = 0; y < dh; ++y) {
+    const int ymin = vb[static_cast<size_t>(y) * 2];
+    const int ymax = vb[static_cast<size_t>(y) * 2 + 1];
+    const int* k = vk.data() + static_cast<size_t>(y) * vks;
+    uint8_t* orow = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      int64_t acc[3] = {1 << (kPrecisionBits - 1), 1 << (kPrecisionBits - 1),
+                        1 << (kPrecisionBits - 1)};
+      for (int i = 0; i < ymax; ++i) {
+        const uint8_t* px =
+            tmp.data() + (static_cast<size_t>(ymin + i) * dw + x) * 3;
+        acc[0] += static_cast<int64_t>(px[0]) * k[i];
+        acc[1] += static_cast<int64_t>(px[1]) * k[i];
+        acc[2] += static_cast<int64_t>(px[2]) * k[i];
+      }
+      orow[x * 3 + 0] = clip8(acc[0]);
+      orow[x * 3 + 1] = clip8(acc[1]);
+      orow[x * 3 + 2] = clip8(acc[2]);
     }
   }
 }

@@ -97,6 +97,29 @@ def test_native_jpeg_decode(tmp_path):
         assert np.array_equal(out, pil)  # decode path is bit-exact
 
 
+def test_native_resize_matches_pil(tmp_path):
+    """The native resample must be bit-identical to PIL BILINEAR on real
+    up- AND downscaling (antialiased triangle filter, 8.22 fixed point) —
+    not just on the memcpy same-size path."""
+    from PIL import Image
+
+    from grl_tpu.data import jpeg
+
+    if not jpeg.native_available():
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    rng = np.random.RandomState(3)
+    for sh, sw in [(128, 64), (300, 200), (40, 20), (257, 129)]:
+        img = rng.randint(0, 256, (sh, sw, 3), np.uint8)
+        p = str(tmp_path / f"r{sh}x{sw}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        ours = jpeg.decode_resize(p, 64, 32)
+        with Image.open(p) as im:
+            ref = np.asarray(im.convert("RGB").resize((32, 64), Image.BILINEAR))
+        assert np.array_equal(ours, ref), f"resize mismatch for {sh}x{sw}"
+
+
 def test_throughput_meter():
     m = ThroughputMeter()
     m.start()

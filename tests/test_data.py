@@ -90,6 +90,21 @@ def test_clip_loader_train_batches():
     assert pids[0] == pids[1] and pids[2] == pids[3]
 
 
+def test_clip_loader_early_exit_joins_producer():
+    """Breaking out of the batch loop must not strand the producer thread
+    (it can be blocked in q.put when the consumer leaves)."""
+    import threading
+
+    ds = synth()
+    cd = ClipDataset(ds.train, seq_len=4, sample="rrs_train", height=32, width=16)
+    loader = ClipLoader(cd, batch_size=2, workers=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit -> finally must join the producer
+    assert threading.active_count() <= before
+
+
 def test_clip_loader_dense():
     ds = synth()
     cd = ClipDataset(ds.query, seq_len=4, sample="dense", height=32, width=16)
