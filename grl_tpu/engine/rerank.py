@@ -26,7 +26,7 @@ import numpy as np
 
 def re_ranking_device(
     q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3, interpret=False,
-    mesh=None,
+    mesh=None, staged=None,
 ):
     """k-reciprocal re-ranking on the TPU.
 
@@ -41,22 +41,29 @@ def re_ranking_device(
     With ``mesh`` (a 1-axis ``jax.sharding.Mesh``), the Jaccard min-sum —
     the dominant cost at LS-VID scale — fans out over the mesh with query
     rows sharded and V replicated (each chip runs the Pallas kernel on its
-    row block; no cross-chip traffic beyond the broadcast).
+    row block; no cross-chip traffic beyond the broadcast); on the staged
+    LS-VID path the set algebra itself is additionally row-sharded over
+    the mesh (see _build_v_staged), taking per-chip peak memory from n^2
+    to ~n^2/n_devices. ``staged`` forces the staged builder on/off (None =
+    auto by problem size).
     """
     import jax.numpy as jnp
 
     from ..ops import minplus_matmul
 
     query_num = q_g_dist.shape[0]
-    n_total = query_num + g_g_dist.shape[0]
-    if n_total > 16384:
+    gallery_num = g_g_dist.shape[0]
+    n_total = query_num + gallery_num
+    if staged is None:
+        staged = n_total > 16384
+    if staged:
         # LS-VID scale: the one-jit builder holds ~6 n^2 fp32 buffers live
         # (26 GB at n=33k vs 15.75 GB HBM); the staged builder frees each
         # stage's temporaries and CONSUMES (donates) the input distance
         # matrices — device-array callers must not reuse them afterwards.
         v, original_q = _build_v_staged(
             jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist),
-            k1=k1, k2=k2,
+            k1=k1, k2=k2, mesh=mesh,
         )
         q_g_dist = q_q_dist = g_g_dist = None
     else:
@@ -88,14 +95,15 @@ def re_ranking_device(
     jaccard = 1.0 - min_sum / (2.0 - min_sum)
     final = jaccard * (1 - lambda_value) + original_q * lambda_value
     # returned device-resident: downstream CMC/mAP also runs on device, so
-    # the (q, g) matrix need never cross the host boundary
-    return final[:, query_num:]
+    # the (q, g) matrix need never cross the host boundary. The explicit
+    # end stop drops the mesh-divisibility pad columns (if any).
+    return final[:, query_num : query_num + gallery_num]
 
 
 _BUILD_V_CACHE = {}
 
 
-def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6):
+def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
     """Memory-lean membership-weight builder for galleries too large for
     the single-jit version: the program is split into stages so XLA frees
     each stage's n^2 temporaries before the next allocates, the set
@@ -103,7 +111,18 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6):
     distance matrix), counts ride bf16 matmuls (integers ≤ k1+1 are exact
     in bf16), and the distance buffer is donated into the weight buffer.
 
-    Exact same math as _make_build_v; returns (v, original[:q]).
+    With ``mesh``, every n^2 stage buffer is ROW-SHARDED over the mesh
+    (GSPMD: ``out_shardings=P(axis, None)``); XLA inserts the all-to-all
+    that re-shards ``Aᵀ`` for the ``A ∧ Aᵀ`` reciprocal step and streams
+    the expansion matmuls block-wise, so per-chip peak drops from n^2 to
+    ~n^2/n_devices — the headroom path past the single-chip HBM cliff at
+    LS-VID scale (n=33k: 4.4 GB per fp32 buffer). n is padded up to a
+    mesh multiple with max-distance phantom items (self-distance 0 so
+    their reciprocal sets are self-only); pad rows/columns carry zero
+    membership weight for real items and are sliced off by the caller.
+
+    Exact same math as _make_build_v; returns (v, original[:q]) where v
+    may carry padded trailing rows/columns under ``mesh``.
     """
     import functools
 
@@ -111,8 +130,21 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6):
     import jax.numpy as jnp
 
     q = q_g.shape[0]
+    n0 = q + g_g.shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        axis = mesh.axis_names[0]
+        ndev = mesh.shape[axis]
+        n_pad = -(-n0 // ndev) * ndev
+        row_shard = NamedSharding(mesh, P(axis, None))
+        shard_kw = dict(out_shardings=row_shard)
+    else:
+        n_pad = n0
+        shard_kw = {}
+    pad = n_pad - n0
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2), **shard_kw)
     def s1_original(q_g, q_q, g_g):
         original = jnp.concatenate(
             [
@@ -122,22 +154,32 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6):
             axis=0,
         )
         original = jnp.square(original).astype(jnp.float32)
-        return (original / jnp.max(original, axis=0)).T
+        original = (original / jnp.max(original, axis=0)).T
+        if pad:
+            # phantom items at the normalized max distance (1.0) from
+            # everything, 0.0 from themselves: never enter a real item's
+            # top-k, keep their own reciprocal set = {self} (no 0/0 rows)
+            original = jnp.pad(original, ((0, pad), (0, pad)), constant_values=1.0)
+            diag = jnp.arange(n0, n_pad)
+            original = original.at[diag, diag].set(0.0)
+        return original
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @functools.partial(jax.jit, static_argnames=("k",), **shard_kw)
     def s2_topk(original, k):
         # numpy's rank[:, :k] silently clamps when k > n; match it
         return jax.lax.top_k(-original, min(k, original.shape[1]))[1]
 
-    @jax.jit
+    @functools.partial(jax.jit, **shard_kw)
     def s3a_reciprocal(idx):
-        # bf16 0/1 adjacency straight from indices, AND'd with its transpose
+        # bf16 0/1 adjacency straight from indices, AND'd with its
+        # transpose (under a mesh: A row-sharded, Aᵀ re-sharded by an XLA
+        # all-to-all, product row-sharded)
         n = idx.shape[0]
         rows = jnp.arange(n)[:, None]
         a = jnp.zeros((n, n), jnp.bfloat16).at[rows, idx].set(1.0)
         return a * a.T
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, donate_argnums=(0, 1), **shard_kw)
     def s3b_expansion(r, b):
         # all counts are integers ≤ k1+1: exact in bf16 end-to-end. The
         # 2/3·|B| threshold is never an eps away from an integer, so the
@@ -149,12 +191,12 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6):
         expanded = jnp.dot(qualifies, b, preferred_element_type=jnp.bfloat16)
         return (r > 0) | (expanded > 0)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), **shard_kw)
     def s4_v(original, expansion):
         weights = jnp.exp(-original) * expansion
         return weights / jnp.sum(weights, axis=1, keepdims=True)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), **shard_kw)
     def s5_qexpand(v, idx2):
         # fori_loop, NOT an unrolled python loop: unrolled, XLA keeps all
         # k2 full-size gather results live at once (k2 x n^2 fp32 — the

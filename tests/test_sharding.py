@@ -158,6 +158,28 @@ def test_sharded_device_rerank_matches_numpy():
     np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_staged_rerank_set_algebra_sharded_matches_numpy():
+    """The LS-VID staged builder with its set algebra row-sharded over the
+    mesh (adjacency, reciprocal AND-transpose, expansion matmuls, V) must
+    reproduce host numpy exactly — including the phantom-item padding that
+    makes n divisible by the mesh (n = 105 -> pad 7)."""
+    from grl_tpu.engine.rerank import re_ranking, re_ranking_device
+
+    rng = np.random.RandomState(11)
+    q, g = 19, 86  # n = 105: exercises the divisibility padding
+    feats = rng.randn(q + g, 16).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = np.linalg.norm(feats[:, None] - feats[None, :], axis=2)
+    qg, qq, gg = d[:q, q:], d[:q, :q], d[q:, q:]
+    mesh = data_mesh(8)
+    ref = re_ranking(qg, qq, gg)
+    dev = np.asarray(
+        re_ranking_device(qg, qq, gg, interpret=True, mesh=mesh, staged=True)
+    )
+    assert dev.shape == ref.shape
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_mesh_evaluator_matches_single_device():
     """Full eval protocol with mesh-sharded feature extraction + metrics."""
     import jax.numpy as jnp
