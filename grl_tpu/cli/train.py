@@ -95,9 +95,11 @@ def validate_args(args):
 
 
 def main(args):
+    from ..parallel import maybe_initialize_distributed
     from ..utils.profiling import enable_compilation_cache
 
     validate_args(args)
+    maybe_initialize_distributed()  # no-op unless a pod coordinator is set
     enable_compilation_cache()
     np.random.seed(args.seed)
     mkdir_if_missing(args.logs_dir)
@@ -113,10 +115,21 @@ def main(args):
     from ..config import ExperimentConfig
 
     cfg = ExperimentConfig.from_args(args)
+    nproc = jax.process_count()
+    local_batch = args.batch_size
+    if nproc > 1:
+        # --batch-size is the GLOBAL batch; each host loads its slice
+        if args.batch_size % (2 * nproc):
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of "
+                f"2 * process_count ({2 * nproc}) so every host gets whole pairs"
+            )
+        local_batch = args.batch_size // nproc
+        print(f"multi-host: {nproc} processes, {local_batch} clips/host/step")
     dataset, num_classes, train_loader, query_loader, gallery_loader = get_data(
         args.dataset,
         args.data_dir,
-        args.batch_size,
+        local_batch,
         args.seq_len,
         args.seq_srd,
         args.workers,
@@ -125,6 +138,7 @@ def main(args):
         eval_batch=cfg.data.eval_batch_size,
         dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
         train_sample="random" if args.sample_method == "random" else "rrs_train",
+        process_shard=nproc > 1,
     )
 
     # default data parallelism over all local devices (the reference's
@@ -192,6 +206,12 @@ def main(args):
     )
     if mesh is not None:
         train_state = replicate(train_state, mesh)
+    if nproc > 1:
+        from ..parallel import GlobalBatchLoader
+
+        if mesh is None:
+            raise SystemExit("multi-host training requires a device mesh")
+        train_loader = GlobalBatchLoader(train_loader, mesh)
     trainer = Trainer(step_fn, writer, seed=args.seed, mesh=mesh)
 
     for epoch in range(start_epoch, args.epochs):

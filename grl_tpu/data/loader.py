@@ -196,6 +196,7 @@ def get_data(
     seed=0,
     dataset_kwargs=None,
     train_sample="rrs_train",
+    process_shard=False,
 ):
     """Build (dataset, num_classes, train_loader, query_loader, gallery_loader)
     — the reference's get_data surface (reid/data/dataloader.py:12-81)."""
@@ -221,6 +222,12 @@ def get_data(
     else:
         if batch_size % 2 != 0:
             raise ValueError("train batch_size must be even (anchor/positive pairs)")
+        if process_shard:
+            # multi-host: this process decodes only its identity shard
+            # (parallel/multihost.py); batch_size here is the LOCAL batch
+            from ..parallel import shard_catalog
+
+            train_list = shard_catalog(train_list)
         train_set = ClipDataset(train_list, seq_len, train_sample, height, width, seed=seed)
         train_loader = ClipLoader(
             train_set,

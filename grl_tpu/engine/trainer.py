@@ -43,9 +43,13 @@ class Trainer:
             data_time.update(time.time() - end)
 
             self.rng, aug_rng = jax.random.split(self.rng)
+            already_global = isinstance(clips_u8, jax.Array)
             clips_u8 = jnp.asarray(clips_u8)
             targets = jnp.asarray(pids)
-            if self.mesh is not None:
+            if self.mesh is not None and not already_global:
+                # host numpy batch -> shard locally; a multi-host
+                # GlobalBatchLoader already delivers globally-sharded
+                # jax.Arrays (parallel/multihost.py)
                 from ..parallel import shard_batch
 
                 clips_u8 = shard_batch(clips_u8, self.mesh)

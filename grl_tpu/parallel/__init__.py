@@ -8,10 +8,20 @@ from .mesh import (
     sharded_cosine_distance,
     sharded_train_state,
 )
+from .multihost import (
+    GlobalBatchLoader,
+    global_batch_loader,
+    maybe_initialize_distributed,
+    shard_catalog,
+)
 
 __all__ = [
     "auto_mesh",
     "data_mesh",
+    "GlobalBatchLoader",
+    "global_batch_loader",
+    "maybe_initialize_distributed",
+    "shard_catalog",
     "replicate",
     "shard_batch",
     "sharded_train_state",

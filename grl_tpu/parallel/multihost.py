@@ -1,0 +1,115 @@
+"""Multi-host (DCN-scale) input pipeline: per-process catalog shards
+feeding globally-sharded device arrays.
+
+The reference's scaling story stops at single-process DataParallel with
+multi-process *decode* workers (mars_train.py:52,80, dataloader.py:74).
+The TPU-native pod-scale equivalent (SURVEY.md §2.9 "Grain/tf.data-style
+parallel host pipeline feeding device-sharded arrays"):
+
+1. every process (host) takes a disjoint slice of the train catalog —
+   sliced by IDENTITY, so the pair sampler can always find a same-pid
+   positive inside the local shard and (anchor, positive) pairs never
+   straddle hosts;
+2. each process runs its own ClipLoader over its shard with
+   ``global_batch / process_count`` items per step;
+3. ``jax.make_array_from_process_local_data`` assembles the per-host
+   batches into one global jax.Array sharded over the mesh's data axis —
+   no cross-host data movement; each host's bytes land on its own chips;
+4. the jitted train step consumes the global array exactly like a
+   single-host sharded batch (XLA inserts the gradient psum over ICI/DCN).
+
+Degenerate single-process behavior is identical to ``shard_batch``; this
+is what the virtual-mesh tests pin down. On a real pod, call
+``maybe_initialize_distributed()`` before any jax use.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed():
+    """Call ``jax.distributed.initialize`` when a coordinator is configured.
+
+    No-op when single-process (no coordinator address in the environment)
+    or when already initialized. Env contract: standard JAX
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
+    (also honored automatically on Cloud TPU pods).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def shard_catalog(tracklets, process_index=None, process_count=None):
+    """Deterministic per-process slice of a train catalog, by identity.
+
+    Identities are greedily balanced by tracklet count (largest first) so
+    hosts get near-equal work. Keeping whole pids on one host preserves
+    the pair sampler's contract: a same-pid positive for every anchor
+    exists locally (reference sampler.py:98-125 semantics, per host).
+
+    pids keep their GLOBAL relabeled values — the OIM lookup tables are
+    replicated global state, so loss targets must be global class ids.
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_count == 1:
+        return list(tracklets)
+
+    by_pid = {}
+    for item in tracklets:
+        by_pid.setdefault(item[1], []).append(item)
+    # deterministic greedy balance: biggest pid groups first, each to the
+    # currently lightest process (ties by process id)
+    loads = [0] * process_count
+    assignment = {}
+    for pid in sorted(by_pid, key=lambda p: (-len(by_pid[p]), p)):
+        target = min(range(process_count), key=lambda i: (loads[i], i))
+        assignment[pid] = target
+        loads[target] += len(by_pid[pid])
+    return [item for item in tracklets if assignment[item[1]] == process_index]
+
+
+def global_batch_loader(loader, mesh, axis="data"):
+    """Wrap a per-host ClipLoader into a global-array iterator.
+
+    Yields ``(clips, pids, camids)`` as jax.Arrays whose leading axis is
+    the GLOBAL batch (local batch x process_count), sharded over ``axis``.
+    Each host contributes exactly its local block; with one process this
+    equals ``shard_batch`` on every array.
+    """
+    clip_sharding = None
+    flat_sharding = NamedSharding(mesh, P(axis))
+    for clips, pids, camids in loader:
+        if clip_sharding is None:
+            clip_sharding = NamedSharding(mesh, P(axis, *([None] * (clips.ndim - 1))))
+        yield (
+            jax.make_array_from_process_local_data(clip_sharding, np.ascontiguousarray(clips)),
+            jax.make_array_from_process_local_data(flat_sharding, np.ascontiguousarray(pids)),
+            jax.make_array_from_process_local_data(flat_sharding, np.ascontiguousarray(camids)),
+        )
+
+
+class GlobalBatchLoader:
+    """len()-preserving wrapper around :func:`global_batch_loader` so the
+    Trainer's per-epoch step count stays correct."""
+
+    def __init__(self, loader, mesh, axis="data"):
+        self.loader = loader
+        self.mesh = mesh
+        self.axis = axis
+        self.dataset = loader.dataset
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        return global_batch_loader(self.loader, self.mesh, self.axis)

@@ -180,6 +180,77 @@ def test_staged_rerank_set_algebra_sharded_matches_numpy():
     np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_shard_catalog_partitions_whole_pids():
+    """Multi-host catalog sharding: disjoint, complete, whole identities
+    per process (the pair sampler must find a same-pid positive locally),
+    and roughly balanced."""
+    from grl_tpu.parallel import shard_catalog
+
+    rng = np.random.RandomState(0)
+    tracklets = []
+    for pid in range(11):
+        for _ in range(rng.randint(1, 7)):
+            tracklets.append((f"frames_{pid}", pid, rng.randint(0, 3)))
+
+    shards = [shard_catalog(tracklets, i, 3) for i in range(3)]
+    # disjoint + complete
+    seen = [id(t) for s in shards for t in s]
+    assert len(seen) == len(tracklets) == len(set(seen))
+    # whole pids
+    pid_sets = [set(t[1] for t in s) for s in shards]
+    for a in range(3):
+        for b in range(a + 1, 3):
+            assert not (pid_sets[a] & pid_sets[b])
+    # balance within the largest pid-group size
+    sizes = sorted(len(s) for s in shards)
+    assert sizes[-1] - sizes[0] <= 6
+    # single process: identity
+    assert shard_catalog(tracklets, 0, 1) == tracklets
+
+
+def test_global_batch_loader_feeds_train_step():
+    """make_array_from_process_local_data batches (single-process
+    degenerate case) must be byte-identical to shard_batch and feed the
+    jitted train step unchanged — the multi-host input contract."""
+    from grl_tpu.data import ClipDataset, ClipLoader, sampling
+    from grl_tpu.data.catalogs import get_sequence
+    from grl_tpu.parallel import GlobalBatchLoader
+
+    ds = get_sequence("synthetic", seed=0)
+    cd = ClipDataset(ds.train, seq_len=2, sample="rrs_train", height=32, width=16)
+    mesh = data_mesh(8)
+
+    def batches(seed):
+        cd.rng = np.random.RandomState(seed)
+        return ClipLoader(
+            cd, batch_size=16,
+            sampler=sampling.RandomPairSampler(ds.train, seed=0),
+            drop_last=True, workers=2,
+        )
+
+    host = list(batches(0))
+    glob = list(GlobalBatchLoader(batches(0), mesh))
+    assert len(glob) == len(host)
+    clips_g, pids_g, _ = glob[0]
+    clips_h, pids_h, _ = host[0]
+    assert isinstance(clips_g, jax.Array)
+    assert clips_g.sharding.is_equivalent_to(
+        shard_batch(jnp.asarray(clips_h), mesh).sharding, clips_g.ndim
+    )
+    np.testing.assert_array_equal(np.asarray(clips_g), clips_h)
+    np.testing.assert_array_equal(np.asarray(pids_g), pids_h)
+
+    # the jitted train step consumes the global array unchanged
+    cnn, sia, unc = tiny_models()
+    opt = SGD()
+    ts = init_train_state(jax.random.PRNGKey(0), cnn, sia, unc,
+                          ds.num_train_pids, cnn.num_feat, opt)
+    ts = replicate(ts, mesh)
+    step = make_train_step(cnn, sia, unc, opt, donate=False)
+    _, m = step(ts, jnp.asarray(clips_g, jnp.float32), pids_g % ds.num_train_pids, 1e-3)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_mesh_evaluator_matches_single_device():
     """Full eval protocol with mesh-sharded feature extraction + metrics."""
     import jax.numpy as jnp
