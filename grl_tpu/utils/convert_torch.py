@@ -124,3 +124,31 @@ def load_grl_checkpoint(params, state, flat):
     """Overlay a reference cnn checkpoint onto GRLModel pytrees."""
     p, s = torch_to_pytree(flat, aliases=GRL_ALIASES)
     return merge_pytree(params, p), merge_pytree(state, s)
+
+
+def _main():
+    """CLI: flatten a torch .pth/.pth.tar into a numpy .npz that
+    --pretrained-trunk / load_grl_checkpoint can consume.
+
+    python -m grl_tpu.utils.convert_torch --src resnet50-19c8e357.pth \
+        --out resnet50_imagenet.npz
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__.split("\n")[0])
+    ap.add_argument("--src", required=True, help="torch checkpoint (.pth / .pth.tar)")
+    ap.add_argument("--out", required=True, help="output .npz of numpy arrays")
+    args = ap.parse_args()
+
+    import torch
+
+    blob = torch.load(args.src, map_location="cpu", weights_only=False)
+    state = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    flat = {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in state.items()}
+    np.savez(args.out, **flat)
+    print(f"wrote {len(flat)} arrays to {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -194,3 +194,47 @@ def test_scalar_writer_tensorboard_backend(tmp_path):
     w2 = ScalarWriter(d, wipe=True)
     w2.close()
     assert not any(f.startswith("events.out.tfevents") for f in os.listdir(d))
+
+
+def test_prepare_real_data_tool(tmp_path, capsys, monkeypatch):
+    """tools/prepare_real_data.py verifies layout, warms caches,
+    spot-decodes frames, and prints the parity recipe."""
+    import importlib.util
+    import os.path as osp
+    import sys
+
+    from PIL import Image
+
+    here = osp.dirname(__file__)
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    td = load("td_fixture", osp.join(here, "test_data.py"))
+    root = td.make_fake_mars(tmp_path)
+
+    # materialize the frames the metadata references
+    rng = np.random.RandomState(0)
+    for split, sub in (("train", "bbox_train"), ("test", "bbox_test")):
+        names = (tmp_path / "MARS" / "info" / f"{split}_name.txt").read_text().split()
+        for n in names:
+            d = tmp_path / "MARS" / sub / n[:4]
+            d.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(rng.randint(0, 255, (16, 8, 3), np.uint8)).save(d / n)
+
+    tool = load("prep_tool", osp.join(here, "..", "tools", "prepare_real_data.py"))
+    monkeypatch.setattr(sys, "argv", ["prep", "mars", "--data-dir", root])
+    tool.main()
+    out = capsys.readouterr().out
+    assert "catalog ok" in out and "ready." in out and "cli.train -d mars" in out
+    assert (tmp_path / "MARS" / "split_train.json").exists()
+
+    # missing layout -> actionable SystemExit
+    import pytest
+
+    monkeypatch.setattr(sys, "argv", ["prep", "mars", "--data-dir", str(tmp_path / "nope")])
+    with pytest.raises(SystemExit):
+        tool.main()
