@@ -52,21 +52,37 @@ class ClipDataset:
 
     sample modes (reference video_loader.py:52-155): 'rrs_train',
     'rrs_test', 'dense', 'random'.
+
+    ``flow_map`` (optional) maps a tracklet's frame source to its optical-
+    flow companion (e.g. ``SequenceDataset.flow_paths_for``); when set,
+    clips carry 6 channels — RGB + flow stacked on the channel axis, the
+    TPU-native packing of the reference's two-modality item
+    (seqpreprocessor.py:29-44 returns separate img/flow tensors).
     """
 
-    def __init__(self, tracklets, seq_len=8, sample="rrs_train", height=256, width=128, seed=0):
+    def __init__(self, tracklets, seq_len=8, sample="rrs_train", height=256, width=128, seed=0,
+                 flow_map=None):
         self.tracklets = tracklets
         self.seq_len = seq_len
         self.sample = sample
         self.height = height
         self.width = width
         self.rng = np.random.RandomState(seed)
+        self.flow_map = flow_map
+
+    def _frame(self, source, flow_source, index):
+        frame = _decode_frame(source, index, self.height, self.width)
+        if flow_source is not None:
+            flow = _decode_frame(flow_source, index, self.height, self.width)
+            frame = np.concatenate([frame, flow], axis=-1)
+        return frame
 
     def __len__(self):
         return len(self.tracklets)
 
     def get(self, index):
         source, pid, camid = self.tracklets[index]
+        flow_source = self.flow_map(source) if self.flow_map is not None else None
         n = _num_frames(source)
         if self.sample == "rrs_train":
             idx = rrs_train_indices(n, self.seq_len, self.rng)
@@ -78,16 +94,14 @@ class ClipDataset:
             grid = dense_indices(n, self.seq_len)
             clips = np.stack(
                 [
-                    np.stack([_decode_frame(source, int(i), self.height, self.width) for i in row])
+                    np.stack([self._frame(source, flow_source, int(i)) for i in row])
                     for row in grid
                 ]
             )
             return clips, pid, camid
         else:
             raise KeyError(f"Unknown sample method: {self.sample}")
-        clip = np.stack(
-            [_decode_frame(source, int(i), self.height, self.width) for i in idx]
-        )
+        clip = np.stack([self._frame(source, flow_source, int(i)) for i in idx])
         return clip, pid, camid
 
 
@@ -197,16 +211,24 @@ def get_data(
     dataset_kwargs=None,
     train_sample="rrs_train",
     process_shard=False,
+    use_flow=False,
 ):
     """Build (dataset, num_classes, train_loader, query_loader, gallery_loader)
     — the reference's get_data surface (reid/data/dataloader.py:12-81)."""
     from .catalogs import get_sequence
 
     kwargs = dict(dataset_kwargs or {})
+    flow_map = None
     if name in ("ilidsvidsequence", "prid2011sequence"):
         dataset = get_sequence(name, root, split_id=split_id, seq_len=seq_len, seq_srd=seq_srd, **kwargs)
         train_list = dataset.trainval
         num_classes = dataset.num_trainval_ids
+        if use_flow:
+            # two-modality items: RGB + optical-flow companions, packed on
+            # channels (reference seqpreprocessor.py:29-44)
+            flow_map = dataset.flow_paths_for
+    elif use_flow:
+        raise ValueError(f"{name} has no optical-flow companions (sequence datasets only)")
     elif name == "synthetic":
         dataset = get_sequence(name, **kwargs)
         train_list = dataset.train
@@ -228,7 +250,8 @@ def get_data(
             from ..parallel import shard_catalog
 
             train_list = shard_catalog(train_list)
-        train_set = ClipDataset(train_list, seq_len, train_sample, height, width, seed=seed)
+        train_set = ClipDataset(train_list, seq_len, train_sample, height, width, seed=seed,
+                                flow_map=flow_map)
         train_loader = ClipLoader(
             train_set,
             batch_size=batch_size,
@@ -240,12 +263,12 @@ def get_data(
     eval_sample = "dense" if only_eval else "rrs_test"
     eval_bs = 1 if only_eval else eval_batch
     query_loader = ClipLoader(
-        ClipDataset(dataset.query, seq_len, eval_sample, height, width),
+        ClipDataset(dataset.query, seq_len, eval_sample, height, width, flow_map=flow_map),
         batch_size=eval_bs,
         workers=workers,
     )
     gallery_loader = ClipLoader(
-        ClipDataset(dataset.gallery, seq_len, eval_sample, height, width),
+        ClipDataset(dataset.gallery, seq_len, eval_sample, height, width, flow_map=flow_map),
         batch_size=eval_bs,
         workers=workers,
     )

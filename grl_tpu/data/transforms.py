@@ -30,10 +30,16 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def normalize(clips):
-    """uint8/float (..., h, w, 3) -> normalized float32."""
+    """uint8/float (..., h, w, 3k) -> normalized float32.
+
+    Channels beyond 3 are stacked modalities (RGB + optical flow on the
+    two-stream path); each 3-channel group gets the same ImageNet stats —
+    matching the reference, whose Normalize runs identically over every
+    modality list (seqtransforms.py:195-215)."""
     x = clips.astype(jnp.float32) / 255.0
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    reps = clips.shape[-1] // 3
+    mean = jnp.tile(jnp.asarray(IMAGENET_MEAN, jnp.float32), reps)
+    std = jnp.tile(jnp.asarray(IMAGENET_STD, jnp.float32), reps)
     return (x - mean) / std
 
 

@@ -6,12 +6,14 @@ from .resnet import Bottleneck, ResNetTrunk, resnet50_trunk
 from .resnet_baseline import ResNetBaseline
 from .siamese import Siamese, SiameseVideo
 from .trl import MemoryBlock, TRLBlock
+from .two_stream import TwoStreamBaseline, two_stream_tiny
 
 _factory = {
     "resnet50_grl": GRLModel,
     "resnet50": ResNetBaseline,
     "siamese": Siamese,
     "siamese_video": SiameseVideo,
+    "two_stream": TwoStreamBaseline,
 }
 
 
@@ -37,6 +39,8 @@ __all__ = [
     "SiameseVideo",
     "ResNetTrunk",
     "ResNetBaseline",
+    "TwoStreamBaseline",
+    "two_stream_tiny",
     "Bottleneck",
     "resnet50_trunk",
 ]

@@ -236,3 +236,82 @@ def test_mars_catalog(tmp_path):
     # cache round-trip gives identical catalogs
     ds2 = Mars(root, use_cache=True)
     assert ds2.train == ds.train and ds2.query == ds.query
+
+
+# -- two-stream (RGB + optical flow) path -------------------------------
+
+
+def test_flow_clips_pack_six_channels(tmp_path):
+    """ClipDataset(flow_map=...) stacks the flow companion on channels;
+    both halves match their own decode."""
+    from PIL import Image
+
+    from grl_tpu.data.jpeg import decode_resize
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "others").mkdir()
+    paths = []
+    for i in range(5):
+        p = tmp_path / "images" / f"f{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (32, 16, 3), np.uint8)).save(p)
+        Image.fromarray(rng.randint(0, 255, (32, 16, 3), np.uint8)).save(
+            tmp_path / "others" / f"f{i}.jpg"
+        )
+        paths.append(str(p))
+
+    def flow_map(img_paths):
+        return tuple(p.replace("/images/", "/others/") for p in img_paths)
+
+    cd = ClipDataset([(tuple(paths), 3, 1)], seq_len=2, sample="rrs_test",
+                     height=32, width=16, flow_map=flow_map)
+    clip, pid, cam = cd.get(0)
+    assert clip.shape == (2, 32, 16, 6) and pid == 3
+    np.testing.assert_array_equal(clip[0, ..., :3], decode_resize(paths[0], 32, 16))
+    np.testing.assert_array_equal(
+        clip[0, ..., 3:], decode_resize(flow_map(paths)[0], 32, 16)
+    )
+    # dense path carries flow too
+    cd.sample = "dense"
+    dense, _, _ = cd.get(0)
+    assert dense.shape[-1] == 6
+
+
+def test_normalize_tiles_stats_over_modalities():
+    clips = (np.random.RandomState(1).rand(1, 2, 4, 4, 6) * 255).astype(np.uint8)
+    out = np.asarray(transforms.normalize(jnp.asarray(clips)))
+    ref3 = np.asarray(transforms.normalize(jnp.asarray(clips[..., :3])))
+    np.testing.assert_allclose(out[..., :3], ref3, rtol=1e-6)
+    np.testing.assert_allclose(
+        out[..., 3:], np.asarray(transforms.normalize(jnp.asarray(clips[..., 3:]))), rtol=1e-6
+    )
+
+
+def test_two_stream_model_forward():
+    """TwoStreamBaseline consumes (b,t,h,w,6) and yields per-frame
+    embed/raw heads like ResNetBaseline."""
+    import jax
+
+    from grl_tpu import models
+
+    m = models.two_stream_tiny(num_features=16)
+    params, state = jax.jit(m.init)(jax.random.PRNGKey(0))
+    clips = jnp.asarray(
+        np.random.RandomState(2).rand(2, 3, 32, 16, 6).astype(np.float32)
+    )
+    (emb, raw), ns = jax.jit(lambda p, s, x: m.apply(p, s, x, training=True))(
+        params, state, clips
+    )
+    assert emb.shape == (2, 3, 16)
+    assert raw.shape == (2, 3, m.num_feat)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb), axis=-1), 1.0, rtol=1e-4
+    )
+    # factory registration
+    assert "two_stream" in models.names()
+
+
+def test_get_data_use_flow_rejected_for_mars():
+    with np.testing.assert_raises(ValueError):
+        get_data("synthetic", "", 4, 4, 4, 1, use_flow=True,
+                 dataset_kwargs=dict(seed=0))
