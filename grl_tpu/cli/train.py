@@ -36,13 +36,10 @@ def build_models(args, tiny=False):
         trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4, compute_dtype=cd)
     else:
         trunk = models.resnet50_trunk(last_stride=1, compute_dtype=cd)
-    if args.arch1 == "resnet50":
-        # per-frame baseline (reference reid/models/resnet.py); usable for
-        # feature extraction/eval — the GRL loss recipe requires resnet50_grl
-        cnn = models.ResNetBaseline(num_features=args.features, compute_dtype=cd)
-        cnn.num_feat = 2048
-    else:
-        cnn = models.GRLModel(trunk=trunk, compute_dtype=cd)
+    # validate_args guarantees arch1 == resnet50_grl here; the per-frame
+    # baselines (ResNetBaseline, TwoStreamBaseline) are library models with
+    # no live CLI path — same as the reference (see validate_args)
+    cnn = models.GRLModel(trunk=trunk, compute_dtype=cd)
     siamese = models.create(
         args.arch2, input_num=cnn.num_feat, output_num=512, class_num=2, compute_dtype=cd
     )
@@ -79,11 +76,22 @@ def validate_args(args):
             "--sampling-rate is accepted for flag parity but unused on the "
             "live path (dead in the reference too); leave it at 3"
         )
-    if args.arch1 == "resnet50_grl" and args.features != 2048:
+    if args.arch1 != "resnet50_grl":
         raise SystemExit(
-            "--features only affects the resnet50 baseline embedding head; "
-            "the GRL model's feature width is fixed at 2048 (reference "
-            "grl_model.py). Use --arch1 resnet50 or drop --features."
+            f"--arch1 {args.arch1!r} has no live train/eval path: the GRL "
+            "loss recipe and the ATTEvaluator descriptor both require the "
+            "(x_uncorr, x_corr) GRL outputs. The reference is equally "
+            "broken here (its per-frame resnet50's only consumer is the "
+            "dead legacy evaluator.py, and test_all.py defaults to a "
+            "'resnet50_rga' that doesn't exist in its factory, "
+            "test_all.py:113). ResNetBaseline/TwoStreamBaseline remain "
+            "library models (grl_tpu.models) for feature extraction."
+        )
+    if args.features != 2048:
+        raise SystemExit(
+            "--features is fixed at 2048 on the GRL path (the model's "
+            "feature width, reference grl_model.py); the flag only ever "
+            "affected the dead per-frame baseline."
         )
     method = getattr(args, "sample_method", "rrs")
     if method not in ("rrs", "random"):

@@ -92,14 +92,13 @@ def test_unsupported_flags_rejected():
         ["--dropout", "0.5"],
         ["--sampling-rate", "5"],
         ["--features", "512"],  # GRL arch: feature width fixed at 2048
+        ["--arch1", "resnet50"],  # no live path (dead in the reference too)
     ):
         args = train_parser().parse_args(base + extra)
         with pytest.raises(SystemExit):
             validate_args(args)
     # supported values pass
     validate_args(train_parser().parse_args(base + ["--sample_method", "random"]))
-    validate_args(train_parser().parse_args(
-        base + ["--arch1", "resnet50", "--features", "512"]))
 
 
 def test_sample_method_random_trains(tmp_path):
