@@ -42,23 +42,6 @@ def cosine_distance(qf, gf):
 # the whole eval are the CMC/mAP scalars.
 
 
-@jax.jit
-def _masked_sum_rows(d, size):
-    """Sum the first ``size`` rows of (bucket, C) — dense-clip partial sum."""
-    mask = jnp.arange(d.shape[0]) < size
-    return jnp.sum(jnp.where(mask[:, None], d, 0.0), axis=0)
-
-
-@jax.jit
-def _add(a, b):
-    return a + b
-
-
-@jax.jit
-def _mean_row(total, n):
-    return (total / n)[None, :]
-
-
 @partial(jax.jit, donate_argnums=0)
 def _write_rows(buf, rows, offset):
     """Write ``rows`` into the donated feature buffer at row ``offset``.
@@ -68,6 +51,19 @@ def _write_rows(buf, rows, offset):
     can spill into scratch rows that are trimmed afterwards.
     """
     return jax.lax.dynamic_update_slice(buf, rows, (offset, 0))
+
+
+@partial(jax.jit, donate_argnums=0)
+def _scatter_add_rows(buf, rows, ids):
+    """Segment-accumulate descriptor rows into per-tracklet sums.
+
+    The dense path packs clips from MANY tracklets into each full
+    micro-batch (real MARS tracklets yield ~8 clips; per-tracklet calls
+    padded 8 -> 32 wasted ~75% of the MXU work) and scatter-adds each
+    clip's descriptor into its tracklet's row; padding rows carry a
+    scratch id one past the last real row.
+    """
+    return buf.at[ids].add(rows)
 
 
 class Evaluator:
@@ -144,44 +140,102 @@ class Evaluator:
             outs.append((d, size))
         return outs
 
+    def _new_buffer(self, rows_shape, dtype, n_rows):
+        buf = jnp.zeros((n_rows,) + rows_shape, dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            buf = jax.device_put(buf, NamedSharding(self.mesh, P()))
+        return buf
+
     def extract_features(self, params, state, loader):
         """Loader -> (features (N, 3C) DEVICE array, pids, camids); dense
         tracklets are clip-averaged (attevaluator.py:84,95).
 
-        Features accumulate into a preallocated device buffer via a donated
-        dynamic_update_slice — they never round-trip the host (at MARS
-        scale that round-trip was ~556 MB over a 20-35 MB/s tunnel).
+        Features accumulate into a preallocated device buffer — they never
+        round-trip the host (at MARS scale that round-trip was ~556 MB over
+        a 20-35 MB/s tunnel). The dense path packs clips from many
+        tracklets into every micro-batch (one compiled descriptor shape,
+        zero padding waste except the final flush) and segment-adds each
+        clip's descriptor into its tracklet's sum; the rrs path writes rows
+        at a running offset.
         """
         n_items = len(loader.dataset)
         pids, camids = [], []
+        if loader.dataset.sample == "dense":
+            feats = self._extract_dense(params, state, loader, n_items, pids, camids)
+        else:
+            feats = self._extract_rows(params, state, loader, n_items, pids, camids)
+        return feats, np.asarray(pids), np.asarray(camids)
+
+    def _extract_rows(self, params, state, loader, n_items, pids, camids):
         buf = None
         offset = 0
-        dense = loader.dataset.sample == "dense"
         for clips, pid, camid in loader:
-            chunks = self.describe_clips(params, state, clips)
-            if dense:
-                total = None
-                for d, size in chunks:
-                    s = _masked_sum_rows(d, np.int32(size))
-                    total = s if total is None else _add(total, s)
-                rows_list = [(_mean_row(total, np.float32(clips.shape[0])), 1)]
-            else:
-                rows_list = chunks
-            for rows, size in rows_list:
+            for rows, size in self.describe_clips(params, state, clips):
                 if buf is None:
                     # oversized by one bucket so padded tail chunks can
                     # spill into scratch rows (trimmed below)
-                    buf = jnp.zeros((n_items + rows.shape[0], rows.shape[1]), rows.dtype)
-                    if self.mesh is not None:
-                        from jax.sharding import NamedSharding, PartitionSpec as P
-
-                        buf = jax.device_put(buf, NamedSharding(self.mesh, P()))
+                    buf = self._new_buffer(rows.shape[1:], rows.dtype, n_items + rows.shape[0])
                 buf = _write_rows(buf, rows, np.int32(offset))
                 offset += size
             pids.extend(np.atleast_1d(pid).tolist())
             camids.extend(np.atleast_1d(camid).tolist())
         assert offset == n_items, f"extracted {offset} rows, expected {n_items}"
-        return buf[:n_items], np.asarray(pids), np.asarray(camids)
+        return buf[:n_items]
+
+    def _extract_dense(self, params, state, loader, n_items, pids, camids):
+        if self._descriptor_fn is None:
+            self._descriptor_fn = self._build_descriptor()
+        mb = self.micro_batch
+        buf = None
+        counts = np.zeros(n_items, np.float32)
+        pend_clips, pend_ids, pending = [], [], 0
+        item = 0
+
+        def flush(clips_np, ids_np):
+            nonlocal buf
+            chunk = jnp.asarray(clips_np)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                chunk = jax.device_put(
+                    chunk, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                )
+            d = self._descriptor_fn(
+                params["cnn"], state["cnn"], params["siamese"], state["siamese"], chunk
+            )
+            if buf is None:
+                # one scratch row (id = n_items) absorbs the padding clips
+                buf = self._new_buffer(d.shape[1:], d.dtype, n_items + 1)
+            buf = _scatter_add_rows(buf, d, jnp.asarray(ids_np))
+
+        for clips, pid, camid in loader:
+            n_clips = clips.shape[0]
+            counts[item] = n_clips
+            pend_clips.append(clips)
+            pend_ids.append(np.full(n_clips, item, np.int32))
+            pending += n_clips
+            pids.extend(np.atleast_1d(pid).tolist())
+            camids.extend(np.atleast_1d(camid).tolist())
+            item += 1
+            while pending >= mb:
+                clips_np = np.concatenate(pend_clips)
+                ids_np = np.concatenate(pend_ids)
+                flush(clips_np[:mb], ids_np[:mb])
+                pend_clips, pend_ids = [clips_np[mb:]], [ids_np[mb:]]
+                pending -= mb
+        if pending:
+            clips_np = np.concatenate(pend_clips)
+            ids_np = np.concatenate(pend_ids)
+            pad = mb - pending
+            clips_np = np.concatenate(
+                [clips_np, np.zeros((pad,) + clips_np.shape[1:], clips_np.dtype)]
+            )
+            ids_np = np.concatenate([ids_np, np.full(pad, n_items, np.int32)])
+            flush(clips_np, ids_np)
+        assert item == n_items, f"extracted {item} tracklets, expected {n_items}"
+        return buf[:n_items] / jnp.asarray(counts)[:, None]
 
     # -- full protocol ---------------------------------------------------
 

@@ -251,6 +251,43 @@ def test_global_batch_loader_feeds_train_step():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_dense_packing_matches_per_tracklet_means():
+    """The packed dense extractor (clips from many tracklets per
+    micro-batch, segment scatter-add) must equal naive per-tracklet clip
+    means of the same descriptor. micro_batch=8 forces tracklets to span
+    flush boundaries and exercises the padded final flush."""
+    from grl_tpu import models
+    from grl_tpu.data import ClipDataset, ClipLoader
+    from grl_tpu.data.catalogs import get_sequence
+    from grl_tpu.engine.evaluator import Evaluator
+
+    ds = get_sequence("synthetic", seed=3)
+    cd = ClipDataset(ds.query + ds.gallery, seq_len=4, sample="dense", height=32, width=16)
+    loader = ClipLoader(cd, batch_size=1, workers=2)
+
+    trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
+    cnn = models.GRLModel(trunk=trunk)
+    siamese = models.Siamese(input_num=cnn.num_feat, output_num=16)
+    p = {"cnn": jax.jit(cnn.init)(jax.random.PRNGKey(0))[0],
+         "siamese": jax.jit(siamese.init)(jax.random.PRNGKey(1))[0]}
+    s = {"cnn": jax.jit(cnn.init)(jax.random.PRNGKey(0))[1],
+         "siamese": jax.jit(siamese.init)(jax.random.PRNGKey(1))[1]}
+
+    ev = Evaluator(cnn, siamese, only_eval=True, micro_batch=8)
+    feats, pids, camids = ev.extract_features(p, s, loader)
+    feats = np.asarray(feats)
+
+    # naive reference: describe every tracklet's clips alone, mean them
+    fn = ev._build_descriptor()
+    want = []
+    for clips, pid, camid in ClipLoader(cd, batch_size=1, workers=2):
+        d = fn(p["cnn"], s["cnn"], p["siamese"], s["siamese"], jnp.asarray(clips))
+        want.append(np.asarray(d).mean(axis=0))
+    want = np.stack(want)
+    assert feats.shape == want.shape
+    np.testing.assert_allclose(feats, want, rtol=2e-4, atol=2e-5)
+
+
 def test_mesh_evaluator_matches_single_device():
     """Full eval protocol with mesh-sharded feature extraction + metrics."""
     import jax.numpy as jnp
