@@ -159,6 +159,13 @@ def main(args):
             else auto_mesh(pairs=args.batch_size // 2, limit=limit))
     if mesh is not None:
         print(f"data-parallel mesh over {mesh.devices.size} devices")
+    if nproc > 1 and (mesh is None or mesh.devices.size != len(jax.devices())):
+        # a subset mesh would leave some processes' chips out of the
+        # collectives — every host must participate
+        raise SystemExit(
+            f"multi-host: batch pairs ({args.batch_size // 2}) must be "
+            f"divisible by the global device count ({len(jax.devices())})"
+        )
 
     cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
     optimizer = SGD(momentum=args.momentum, weight_decay=args.weight_decay, nesterov=True)

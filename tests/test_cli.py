@@ -62,10 +62,11 @@ def test_train_checkpoint_resume_evaluate_visual(tmp_path):
     state = np.load(ckpt, allow_pickle=False)
     assert int(state["extra_epoch"]) == 3
 
-    # standalone eval loads checkpoint_best and reports CMC/mAP (+ strips)
+    # standalone eval loads checkpoint_best and reports CMC/mAP (+ strips
+    # + k-reciprocal re-ranking through the CLI flag)
     argv = [
         "-d", "synthetic", "--tiny", "--seq_len", "2", "-j", "2",
-        "--logs-dir", str(logs), "--visual", "1",
+        "--logs-dir", str(logs), "--visual", "1", "--rerank", "1",
     ]
     args = eval_parser().parse_args(argv)
     stdout = sys.stdout
