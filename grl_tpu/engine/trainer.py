@@ -39,6 +39,40 @@ class Trainer:
 
         num_steps = len(loader)
         end = time.time()
+
+        def materialize(pending):
+            """Fetch a dispatched step's metric scalars and log them.
+
+            Deferred by one step: the host never blocks on step i before
+            step i+1's batch is dispatched, so the next batch's upload and
+            augment overlap the device's current compute — on the tunneled
+            TPU the upload is the dominant per-step cost.
+            """
+            m, n, i = pending
+            losses.update(float(m["loss"]), n)
+            prec_uncorr.update(float(m["prec_uncorr"]), n)
+            prec_vid.update(float(m["prec_vid"]), n)
+            prec_frame.update(float(m["prec_frame"]), n)
+            step = num_steps * epoch + i
+            if self.writer is not None:
+                self.writer.add_scalar("train/total_loss_step", losses.val, step)
+                self.writer.add_scalar("train/total_loss_avg", losses.avg, step)
+            if (i + 1) % self.print_freq == 0:
+                print(
+                    "Epoch: [{}][{}/{}]\t"
+                    "Loss {:.3f} ({:.3f})\t"
+                    "uncorr_vid {:.2%} ({:.2%})\t"
+                    "corr_vid {:.2%} ({:.2%})\t"
+                    "corr_frame {:.2%} ({:.2%})\t".format(
+                        epoch, i + 1, num_steps,
+                        losses.val, losses.avg,
+                        prec_uncorr.val, prec_uncorr.avg,
+                        prec_vid.val, prec_vid.avg,
+                        prec_frame.val, prec_frame.avg,
+                    )
+                )
+
+        pending = None
         for i, (clips_u8, pids, _camids) in enumerate(loader):
             data_time.update(time.time() - end)
 
@@ -58,35 +92,14 @@ class Trainer:
 
             train_state, m = self.train_step(train_state, clips, targets, lr)
 
-            loss = float(m["loss"])
-            n = pids.shape[0]
-            losses.update(loss, n)
-            prec_uncorr.update(float(m["prec_uncorr"]), n)
-            prec_vid.update(float(m["prec_vid"]), n)
-            prec_frame.update(float(m["prec_frame"]), n)
+            if pending is not None:
+                materialize(pending)
+            pending = (m, pids.shape[0], i)
 
             batch_time.update(time.time() - end)
             end = time.time()
-
-            step = num_steps * epoch + i
-            if self.writer is not None:
-                self.writer.add_scalar("train/total_loss_step", losses.val, step)
-                self.writer.add_scalar("train/total_loss_avg", losses.avg, step)
-
-            if (i + 1) % self.print_freq == 0:
-                print(
-                    "Epoch: [{}][{}/{}]\t"
-                    "Loss {:.3f} ({:.3f})\t"
-                    "uncorr_vid {:.2%} ({:.2%})\t"
-                    "corr_vid {:.2%} ({:.2%})\t"
-                    "corr_frame {:.2%} ({:.2%})\t".format(
-                        epoch, i + 1, num_steps,
-                        losses.val, losses.avg,
-                        prec_uncorr.val, prec_uncorr.avg,
-                        prec_vid.val, prec_vid.avg,
-                        prec_frame.val, prec_frame.avg,
-                    )
-                )
+        if pending is not None:
+            materialize(pending)
         if self.writer is not None:
             self.writer.flush()
         return train_state, {
