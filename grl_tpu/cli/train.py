@@ -27,7 +27,7 @@ from ..engine.optim import SGD, step_decay_lr
 from ..engine.train_step import init_train_state, make_train_step
 from ..engine.trainer import Trainer
 from ..utils import Logger, ScalarWriter, mkdir_if_missing
-from ..utils.serialization import load_train_state, save_train_state
+from ..utils.serialization import AsyncCheckpointer, load_train_state
 
 
 def build_models(args, tiny=False):
@@ -228,6 +228,10 @@ def main(args):
             raise SystemExit("multi-host training requires a device mesh")
         train_loader = GlobalBatchLoader(train_loader, mesh)
     trainer = Trainer(step_fn, writer, seed=args.seed, mesh=mesh)
+    # checkpoint writes overlap the next epoch's training: the device->host
+    # state pull + npz write run in a worker thread over on-device copies
+    # (the donated live buffers stay untouched)
+    checkpointer = AsyncCheckpointer()
 
     for epoch in range(start_epoch, args.epochs):
         lr = step_decay_lr(args.lr, epoch, args.lr_step)
@@ -247,11 +251,12 @@ def main(args):
             )
             is_best = top1 > best_top1
             best_top1 = max(top1, best_top1)
-            save_train_state(
-                state_to_numpy(train_state),
+            checkpointer.save(
+                train_state,
                 {"epoch": epoch + 1, "best_top1": best_top1},
                 ckpt_path, is_best=is_best, best_name=best_path,
             )
+    checkpointer.wait()
     writer.close()
     return best_top1
 

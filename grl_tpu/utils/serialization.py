@@ -91,6 +91,56 @@ def save_train_state(train_state, extras, fpath, is_best=False, best_name=None):
         shutil.copy(fpath, osp.join(osp.dirname(fpath), best_name))
 
 
+class AsyncCheckpointer:
+    """Checkpoint writer that does not block the train loop.
+
+    The synchronous ``save_train_state`` pulls every leaf device->host
+    before writing — on a tunneled TPU (~30 MB/s) the full GRL train state
+    is seconds of dead time per save, and on any host it still serializes
+    the pull + npz write into the epoch loop. ``save`` instead snapshots
+    each device leaf with an on-device copy (async dispatch, microseconds
+    on the host) and hands the pull + write to a single worker thread.
+
+    The copies are what make this safe against buffer donation: the jitted
+    train step consumes its ``train_state`` argument
+    (engine/train_step.py donate_argnums), so by the time the worker
+    thread pulls, the *live* state buffers may already be invalidated —
+    the snapshot's buffers are independent.
+
+    One save is in flight at a time; a second ``save`` joins the previous
+    one first, so files appear in submission order. Call ``wait()`` before
+    reading a checkpoint back or exiting the process; worker exceptions
+    re-raise there.
+    """
+
+    def __init__(self):
+        self._pending = None
+        self._executor = None
+
+    def save(self, train_state, extras, fpath, is_best=False, best_name=None):
+        import concurrent.futures
+
+        import jax
+        import jax.numpy as jnp
+
+        self.wait()
+        snapshot = jax.tree_util.tree_map(
+            lambda l: jnp.copy(l) if isinstance(l, jax.Array) else l, train_state
+        )
+        if self._executor is None:
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer"
+            )
+        self._pending = self._executor.submit(
+            save_train_state, snapshot, extras, fpath, is_best, best_name
+        )
+
+    def wait(self):
+        if self._pending is not None:
+            fut, self._pending = self._pending, None
+            fut.result()
+
+
 def load_train_state(template, fpath):
     """Restore a checkpoint into the structure of ``template``.
 
