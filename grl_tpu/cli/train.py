@@ -227,36 +227,73 @@ def main(args):
         if mesh is None:
             raise SystemExit("multi-host training requires a device mesh")
         train_loader = GlobalBatchLoader(train_loader, mesh)
-    trainer = Trainer(step_fn, writer, seed=args.seed, mesh=mesh)
+    # graceful preemption (TPU pods get reclaimed with a SIGTERM grace
+    # window): the handler asks the trainer to stop at the next step
+    # boundary, the loop below checkpoints the consistent state and exits;
+    # --resume replays the interrupted epoch (epoch granularity, matching
+    # the reference's resume semantics)
+    import signal
+    import threading
+
+    stop = threading.Event()
+
+    def _request_stop(signum, _frame):
+        print(f"\nsignal {signum}: stopping at the next step boundary to checkpoint")
+        stop.set()
+
+    prev_handlers = []
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers.append((sig, signal.signal(sig, _request_stop)))
+    except ValueError:
+        pass  # not the main thread (embedded use); preemption opt-out
+
+    trainer = Trainer(step_fn, writer, seed=args.seed, mesh=mesh, stop_event=stop)
     # checkpoint writes overlap the next epoch's training: the device->host
     # state pull + npz write run in a worker thread over on-device copies
     # (the donated live buffers stay untouched)
     checkpointer = AsyncCheckpointer()
 
-    for epoch in range(start_epoch, args.epochs):
-        lr = step_decay_lr(args.lr, epoch, args.lr_step)
-        print(lr)
-        train_state, stats = trainer.train(epoch, train_state, train_loader, lr)
-        print(
-            f"epoch {epoch}: loss {stats['loss']:.3f} "
-            f"batch {stats['batch_time']:.3f}s data {stats['data_time']:.3f}s"
-        )
-
-        do_eval = (epoch + 1) % 5 == 0 or (epoch + 1) == args.epochs or (
-            (epoch + 1) > 30 and (epoch + 1) % 3 == 0
-        )
-        if do_eval:
-            top1 = evaluator.evaluate(
-                train_state["params"], train_state["model_state"], query_loader, gallery_loader
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            lr = step_decay_lr(args.lr, epoch, args.lr_step)
+            print(lr)
+            train_state, stats = trainer.train(epoch, train_state, train_loader, lr)
+            if stop.is_set():
+                checkpointer.save(
+                    train_state, {"epoch": epoch, "best_top1": best_top1}, ckpt_path
+                )
+                checkpointer.wait()
+                print(f"preempted during epoch {epoch}: state saved to {ckpt_path}; "
+                      f"continue with --resume {ckpt_path}")
+                break
+            print(
+                f"epoch {epoch}: loss {stats['loss']:.3f} "
+                f"batch {stats['batch_time']:.3f}s data {stats['data_time']:.3f}s"
             )
-            is_best = top1 > best_top1
-            best_top1 = max(top1, best_top1)
+
+            do_eval = (epoch + 1) % 5 == 0 or (epoch + 1) == args.epochs or (
+                (epoch + 1) > 30 and (epoch + 1) % 3 == 0
+            )
+            is_best = False
+            if do_eval:
+                top1 = evaluator.evaluate(
+                    train_state["params"], train_state["model_state"], query_loader, gallery_loader
+                )
+                is_best = top1 > best_top1
+                best_top1 = max(top1, best_top1)
+            # every epoch checkpoints (the async writer makes this ~free);
+            # the reference only saved on eval epochs, losing up to 5
+            # epochs to a crash
             checkpointer.save(
                 train_state,
                 {"epoch": epoch + 1, "best_top1": best_top1},
                 ckpt_path, is_best=is_best, best_name=best_path,
             )
-    checkpointer.wait()
+        checkpointer.wait()
+    finally:
+        for sig, handler in prev_handlers:
+            signal.signal(sig, handler)
     writer.close()
     return best_top1
 

@@ -18,7 +18,8 @@ from ..utils.meters import AverageMeter
 
 
 class Trainer:
-    def __init__(self, train_step, scalar_writer=None, print_freq=100, seed=0, mesh=None):
+    def __init__(self, train_step, scalar_writer=None, print_freq=100, seed=0, mesh=None,
+                 stop_event=None):
         self.train_step = train_step
         self.writer = scalar_writer
         self.print_freq = print_freq
@@ -28,6 +29,10 @@ class Trainer:
         # and the train step both run SPMD; train_state must already be
         # replicated by the caller
         self.mesh = mesh
+        # graceful preemption: when set (e.g. by the CLI's SIGTERM handler),
+        # the epoch loop stops at the next step boundary with a consistent
+        # train_state the caller can checkpoint
+        self.stop_event = stop_event
 
     def train(self, epoch, train_state, loader, lr):
         batch_time = AverageMeter()
@@ -74,6 +79,10 @@ class Trainer:
 
         pending = None
         for i, (clips_u8, pids, _camids) in enumerate(loader):
+            if self.stop_event is not None and self.stop_event.is_set():
+                print(f"Epoch: [{epoch}][{i}/{num_steps}]\tstop requested; "
+                      "ending epoch early")
+                break
             data_time.update(time.time() - end)
 
             self.rng, aug_rng = jax.random.split(self.rng)

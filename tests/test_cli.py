@@ -82,6 +82,48 @@ def test_train_checkpoint_resume_evaluate_visual(tmp_path):
     assert visual.exists() and any(visual.iterdir()), "no ranked strips written"
 
 
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
+    """Graceful preemption: SIGTERM mid-run must stop at a step boundary,
+    write a consistent checkpoint, and return — and --resume must replay
+    the interrupted epoch. The signal is raised deterministically at the
+    start of epoch 1 (hooked through step_decay_lr, which main() calls
+    once per epoch)."""
+    import signal
+
+    import grl_tpu.cli.train as cli_train
+
+    logs = tmp_path / "pre"
+    orig = cli_train.step_decay_lr
+
+    def hooked(lr, epoch, step):
+        if epoch == 1:
+            signal.raise_signal(signal.SIGTERM)
+        return orig(lr, epoch, step)
+
+    monkeypatch.setattr(cli_train, "step_decay_lr", hooked)
+    run_train(tmp_path, logs, ["--epochs", "4"])
+    monkeypatch.setattr(cli_train, "step_decay_lr", orig)
+
+    # epoch 0 completed and was checkpointed; epoch 1 was preempted before
+    # its first step, so the persisted state says "redo epoch 1"
+    ckpt = logs / "checkpoint.npz"
+    assert ckpt.exists()
+    assert int(np.load(ckpt, allow_pickle=False)["extra_epoch"]) == 1
+    log = (logs / "log_train0.txt").read_text()
+    assert "preempted during epoch 1" in log
+    assert "stop requested" in log
+
+    # the handler was restored after main() returned
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.default_int_handler)
+
+    # resume replays epoch 1 and runs to completion
+    run_train(tmp_path, logs, ["--epochs", "2", "--resume", str(ckpt)])
+    losses = epoch_losses(logs / "log_train1.txt")
+    assert list(losses) == [1], f"resume should train exactly epoch 1, got {losses}"
+    assert int(np.load(ckpt, allow_pickle=False)["extra_epoch"]) == 2
+    assert (logs / "checkpoint_best.npz").exists()
+
+
 def test_unsupported_flags_rejected():
     """Accepted-but-ignored flags are a user trap — unsupported values must
     error loudly (--loss xentropy silently trained with OIM before)."""
