@@ -69,6 +69,25 @@ def test_pair_sampler_single_tracklet_pid():
     assert list(iter(s)) == [0, 0]
 
 
+def test_random_identity_sampler_k_instances_per_pid():
+    """Intended N-id x K-instance semantics (the reference's own
+    RandomIdentitySampler, sampler.py:31-42, indexes pids[i] with a
+    tracklet-range permutation and crashes whenever tracklets > pids —
+    dead code there; implemented as intended here)."""
+    # pid 0 has 5 tracklets (sampled without replacement), pid 1 only 2
+    # (sampled with replacement)
+    ds = [(None, 0, c) for c in range(5)] + [(None, 1, c) for c in range(2)]
+    s = sampling.RandomIdentitySampler(ds, num_instances=4, seed=0)
+    idx = list(iter(s))
+    assert len(idx) == len(s) == 2 * 4
+    by_pid = [[ds[i][1] for i in idx[k : k + 4]] for k in (0, 4)]
+    assert sorted(g[0] for g in by_pid) == [0, 1]
+    for g in by_pid:
+        assert len(set(g)) == 1  # each K-block is one identity
+    pid0_block = idx[0:4] if by_pid[0][0] == 0 else idx[4:8]
+    assert len(set(pid0_block)) == 4  # no replacement when enough tracklets
+
+
 # -- loader ------------------------------------------------------------
 
 
