@@ -91,21 +91,34 @@ def save_train_state(train_state, extras, fpath, is_best=False, best_name=None):
         shutil.copy(fpath, osp.join(osp.dirname(fpath), best_name))
 
 
+def _concat_flat(leaves):
+    """One jitted program concatenating same-dtype leaves into a flat
+    vector. jax.jit caches by (structure, shapes, dtypes), so per save
+    this is ONE device dispatch per dtype group — not one per leaf."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([l.reshape(-1) for l in leaves])
+
+
 class AsyncCheckpointer:
     """Checkpoint writer that does not block the train loop.
 
     The synchronous ``save_train_state`` pulls every leaf device->host
-    before writing — on a tunneled TPU (~30 MB/s) the full GRL train state
-    is seconds of dead time per save, and on any host it still serializes
-    the pull + npz write into the epoch loop. ``save`` instead snapshots
-    each device leaf with an on-device copy (async dispatch, microseconds
-    on the host) and hands the pull + write to a single worker thread.
+    before writing — seconds of dead time per save serialized into the
+    epoch loop. ``save`` instead snapshots the state on device and hands
+    the device->host pull + npz write to a single worker thread.
 
-    The copies are what make this safe against buffer donation: the jitted
-    train step consumes its ``train_state`` argument
-    (engine/train_step.py donate_argnums), so by the time the worker
-    thread pulls, the *live* state buffers may already be invalidated —
-    the snapshot's buffers are independent.
+    The snapshot is PACKED: all leaves of one dtype concatenate into one
+    flat device buffer (a single jitted dispatch per dtype — the GRL train
+    state is ~820 leaves, and on high-latency links ~820 per-leaf
+    dispatches/pulls cost far more than the bytes; measured on the axon
+    tunnel: 15 s of per-leaf copy dispatches vs ~0 s packed, and the
+    worker's pull runs at full bandwidth on one big array). The packed
+    buffers are new allocations, which also makes the snapshot safe
+    against buffer donation: the jitted train step consumes its
+    ``train_state`` argument (engine/train_step.py donate_argnums), so by
+    the time the worker pulls, the *live* state buffers may already be
+    invalidated.
 
     One save is in flight at a time; a second ``save`` joins the previous
     one first, so files appear in submission order. Call ``wait()`` before
@@ -116,24 +129,46 @@ class AsyncCheckpointer:
     def __init__(self):
         self._pending = None
         self._executor = None
+        self._jit_concat = None
 
     def save(self, train_state, extras, fpath, is_best=False, best_name=None):
         import concurrent.futures
 
         import jax
-        import jax.numpy as jnp
 
         self.wait()
-        snapshot = jax.tree_util.tree_map(
-            lambda l: jnp.copy(l) if isinstance(l, jax.Array) else l, train_state
-        )
+        if self._jit_concat is None:
+            self._jit_concat = jax.jit(_concat_flat)
+
+        leaves, treedef = jax.tree_util.tree_flatten(train_state)
+        groups = {}  # dtype str -> list of leaf indices
+        for i, leaf in enumerate(leaves):
+            if isinstance(leaf, jax.Array):
+                groups.setdefault(str(leaf.dtype), []).append(i)
+        shapes = {i: leaves[i].shape for ixs in groups.values() for i in ixs}
+        packed = {
+            dt: self._jit_concat([leaves[i] for i in ixs]) for dt, ixs in groups.items()
+        }
+
+        def write():
+            out = list(leaves)  # host leaves (python/np scalars) pass through
+            for dt, ixs in groups.items():
+                buf = np.asarray(packed[dt])  # ONE pull per dtype group
+                offset = 0
+                for i in ixs:
+                    size = int(np.prod(shapes[i], dtype=np.int64))
+                    out[i] = buf[offset : offset + size].reshape(shapes[i])
+                    offset += size
+            save_train_state(
+                jax.tree_util.tree_unflatten(treedef, out), extras, fpath,
+                is_best, best_name,
+            )
+
         if self._executor is None:
             self._executor = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ckpt-writer"
             )
-        self._pending = self._executor.submit(
-            save_train_state, snapshot, extras, fpath, is_best, best_name
-        )
+        self._pending = self._executor.submit(write)
 
     def wait(self):
         if self._pending is not None:

@@ -171,7 +171,9 @@ def test_async_checkpointer_survives_donation(tmp_path):
     state = {
         "w": jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
         "lut": jnp.full((4, 3), 2.0, jnp.float32),
-        "step": np.asarray(5),
+        "count": jnp.asarray(9, jnp.int32),     # 0-d + distinct dtype group
+        "ids": jnp.arange(5, dtype=jnp.int32),  # packs with "count"
+        "step": np.asarray(5),                  # host leaf passes through
     }
     expect = {k: np.asarray(v) for k, v in state.items()}
 
@@ -188,7 +190,7 @@ def test_async_checkpointer_survives_donation(tmp_path):
     def consume(s):
         return jax.tree.map(lambda x: x * 0 - 1, s)
 
-    donated = consume({"w": state["w"], "lut": state["lut"]})
+    donated = consume({"w": state["w"], "lut": state["lut"], "ids": state["ids"]})
     jax.block_until_ready(donated)
     ckpt.wait()
     ckpt.wait()  # idempotent
