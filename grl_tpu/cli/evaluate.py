@@ -30,9 +30,11 @@ from .train import build_models, state_to_device, validate_args
 
 
 def main(args):
+    from ..parallel import maybe_initialize_distributed
     from ..utils.profiling import enable_compilation_cache
 
     validate_args(args)
+    maybe_initialize_distributed()  # must precede any backend init
     enable_compilation_cache()
     run = 0
     while osp.exists(osp.join(args.logs_dir, f"log_test{run}.txt")):

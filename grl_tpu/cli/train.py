@@ -162,6 +162,12 @@ def main(args):
     if nproc > 1 and (mesh is None or mesh.devices.size != len(jax.devices())):
         # a subset mesh would leave some processes' chips out of the
         # collectives — every host must participate
+        if args.devices:
+            raise SystemExit(
+                f"multi-host: --devices {args.devices} caps the mesh below "
+                f"the global device count ({len(jax.devices())}); every "
+                "chip must participate in the collectives — drop --devices"
+            )
         raise SystemExit(
             f"multi-host: batch pairs ({args.batch_size // 2}) must be "
             f"divisible by the global device count ({len(jax.devices())})"

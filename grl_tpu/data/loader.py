@@ -123,6 +123,7 @@ class ClipLoader:
         workers=4,
         prefetch=2,
         seed=0,
+        max_batches=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -132,6 +133,11 @@ class ClipLoader:
         self.workers = max(workers, 1)
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        # multi-host: every process must run the SAME number of steps per
+        # epoch (a host with a bigger catalog shard would dispatch extra
+        # sharded train steps whose collectives block forever); the caller
+        # caps all hosts to the smallest shard's step count
+        self.max_batches = max_batches
         if dataset.sample == "dense" and batch_size != 1:
             raise ValueError("dense sampling requires batch_size=1")
 
@@ -145,7 +151,8 @@ class ClipLoader:
 
     def __len__(self):
         n = len(self._indices()) if self.sampler is not None else len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        n = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return n if self.max_batches is None else min(n, self.max_batches)
 
     def __iter__(self):
         indices = self._indices()
@@ -155,24 +162,34 @@ class ClipLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.max_batches is not None:
+            batches = batches[: self.max_batches]
 
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        err = []
+
         def produce():
-            with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                for batch in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.get, batch))
-                    if self.dataset.sample == "dense":
-                        clips = items[0][0]
-                    else:
-                        clips = np.stack([c for c, _, _ in items])
-                    pids = np.asarray([p for _, p, _ in items], np.int32)
-                    cams = np.asarray([c for _, _, c in items], np.int32)
-                    q.put((clips, pids, cams))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                    for batch in batches:
+                        if stop.is_set():
+                            break
+                        items = list(pool.map(self.dataset.get, batch))
+                        if self.dataset.sample == "dense":
+                            clips = items[0][0]
+                        else:
+                            clips = np.stack([c for c, _, _ in items])
+                        pids = np.asarray([p for _, p, _ in items], np.int32)
+                        cams = np.asarray([c for _, _, c in items], np.int32)
+                        q.put((clips, pids, cams))
+            except BaseException as e:  # noqa: BLE001
+                # a decode error must surface in the consumer, not leave it
+                # blocked in q.get() forever with a dead producer
+                err.append(e)
+            finally:
+                q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -182,6 +199,8 @@ class ClipLoader:
                 if item is None:
                     break
                 yield item
+            if err:
+                raise RuntimeError("ClipLoader producer failed") from err[0]
         finally:
             stop.set()
             # Keep draining until the producer thread has actually exited:
@@ -244,11 +263,17 @@ def get_data(
     else:
         if batch_size % 2 != 0:
             raise ValueError("train batch_size must be even (anchor/positive pairs)")
+        max_batches = None
         if process_shard:
             # multi-host: this process decodes only its identity shard
-            # (parallel/multihost.py); batch_size here is the LOCAL batch
-            from ..parallel import shard_catalog
+            # (parallel/multihost.py); batch_size here is the LOCAL batch.
+            # All hosts cap their epoch to the SMALLEST shard's step count
+            # (computable locally — the greedy balance is deterministic):
+            # otherwise hosts with bigger shards dispatch extra train steps
+            # whose gradient psum waits on the exhausted hosts forever.
+            from ..parallel import min_shard_size, shard_catalog
 
+            max_batches = (2 * min_shard_size(train_list)) // batch_size
             train_list = shard_catalog(train_list)
         train_set = ClipDataset(train_list, seq_len, train_sample, height, width, seed=seed,
                                 flow_map=flow_map)
@@ -258,6 +283,7 @@ def get_data(
             sampler=RandomPairSampler(train_list, seed=seed),
             drop_last=True,
             workers=workers,
+            max_batches=max_batches,
         )
 
     eval_sample = "dense" if only_eval else "rrs_test"

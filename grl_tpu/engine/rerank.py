@@ -124,23 +124,74 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
     Exact same math as _make_build_v; returns (v, original[:q]) where v
     may carry padded trailing rows/columns under ``mesh``.
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
     q = q_g.shape[0]
     n0 = q + g_g.shape[0]
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        axis = mesh.axis_names[0]
-        ndev = mesh.shape[axis]
+        ndev = mesh.shape[mesh.axis_names[0]]
         n_pad = -(-n0 // ndev) * ndev
-        row_shard = NamedSharding(mesh, P(axis, None))
-        shard_kw = dict(out_shardings=row_shard)
     else:
         n_pad = n0
+
+    # stages are cached per (n0, n_pad, mesh): a fresh jit wrapper per call
+    # would re-trace and recompile six n^2-scale programs on EVERY rerank
+    # (periodic eval re-ranks at a fixed n, so this hits after the first)
+    key = (n0, n_pad, mesh)
+    if key not in _STAGED_CACHE:
+        _STAGED_CACHE[key] = _make_staged_stages(n0, n_pad, mesh)
+    st = _STAGED_CACHE[key]
+
+    import os
+    _dbg = os.environ.get("GRL_RERANK_DEBUG")
+
+    def sync(x):
+        if _dbg:
+            print("stage sync:", x.shape, x.dtype, flush=True)
+        # serialize the async dispatch queue: without this, later stages'
+        # outputs allocate while earlier stages' n^2 temporaries are still
+        # live and the chain exhausts HBM even though every stage fits.
+        # (block_until_ready is not a true barrier on the axon tunnel —
+        # only a host materialization is. Index, don't ravel: ravel would
+        # materialize a full n^2 copy just to read one element.)
+        jax.device_get(x[(0,) * x.ndim])
+        return x
+
+    original = sync(st["s1_original"](q_g, q_q, g_g))
+    del q_g, q_q, g_g  # donated into s1
+    half = int(np.around(k1 / 2.0)) + 1
+    idx_k1 = sync(st["s2_topk"](original, k=k1 + 1))
+    idx_half = sync(st["s2_topk"](original, k=half))
+    idx_2 = sync(st["s2_topk"](original, k=k2)) if k2 != 1 else None
+    original_q = jnp.array(original[:q])  # materialize before donation
+    r = sync(st["s3a_reciprocal"](idx_k1))
+    b = sync(st["s3a_reciprocal"](idx_half))
+    expansion = sync(st["s3b_expansion"](r, b))
+    del r, b
+    v = sync(st["s4_v"](original, expansion))
+    del original, expansion  # original donated into weights; expansion dead
+    if k2 != 1:
+        v = sync(st["s5_qexpand"](v, idx_2))
+    return v, original_q
+
+
+_STAGED_CACHE = {}
+
+
+def _make_staged_stages(n0, n_pad, mesh):
+    """Build the six jitted stage programs for :func:`_build_v_staged`,
+    closed over the padding geometry and mesh sharding."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_kw = dict(out_shardings=NamedSharding(mesh, P(mesh.axis_names[0], None)))
+    else:
         shard_kw = {}
     pad = n_pad - n0
 
@@ -209,37 +260,14 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
         acc = jax.lax.fori_loop(1, kk, body, v[idx2[:, 0]])
         return acc / kk
 
-    import os
-    _dbg = os.environ.get("GRL_RERANK_DEBUG")
-
-    def sync(x):
-        if _dbg:
-            print("stage sync:", x.shape, x.dtype, flush=True)
-        # serialize the async dispatch queue: without this, later stages'
-        # outputs allocate while earlier stages' n^2 temporaries are still
-        # live and the chain exhausts HBM even though every stage fits.
-        # (block_until_ready is not a true barrier on the axon tunnel —
-        # only a host materialization is. Index, don't ravel: ravel would
-        # materialize a full n^2 copy just to read one element.)
-        jax.device_get(x[(0,) * x.ndim])
-        return x
-
-    original = sync(s1_original(q_g, q_q, g_g))
-    del q_g, q_q, g_g  # donated into s1
-    half = int(np.around(k1 / 2.0)) + 1
-    idx_k1 = sync(s2_topk(original, k=k1 + 1))
-    idx_half = sync(s2_topk(original, k=half))
-    idx_2 = sync(s2_topk(original, k=k2)) if k2 != 1 else None
-    original_q = jnp.array(original[:q])  # materialize before donation
-    r = sync(s3a_reciprocal(idx_k1))
-    b = sync(s3a_reciprocal(idx_half))
-    expansion = sync(s3b_expansion(r, b))
-    del r, b
-    v = sync(s4_v(original, expansion))
-    del original, expansion  # original donated into weights; expansion dead
-    if k2 != 1:
-        v = sync(s5_qexpand(v, idx_2))
-    return v, original_q
+    return {
+        "s1_original": s1_original,
+        "s2_topk": s2_topk,
+        "s3a_reciprocal": s3a_reciprocal,
+        "s3b_expansion": s3b_expansion,
+        "s4_v": s4_v,
+        "s5_qexpand": s5_qexpand,
+    }
 
 
 def _make_build_v(k1, k2):

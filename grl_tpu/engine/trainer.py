@@ -33,6 +33,27 @@ class Trainer:
         # the epoch loop stops at the next step boundary with a consistent
         # train_state the caller can checkpoint
         self.stop_event = stop_event
+        self._multi_process = jax.process_count() > 1
+
+    def _stop_requested(self):
+        """Preemption check at the step boundary.
+
+        Multi-host: the decision must be COLLECTIVE — SIGTERM lands on
+        hosts at different times (or on only some), and a host that breaks
+        while others dispatch another step leaves that step's gradient
+        psum blocked forever. Every host contributes its local flag and
+        all stop iff any host saw the signal; this all-gather runs every
+        step on all hosts (same count everywhere — the loaders are capped
+        to equal step counts, data/loader.py max_batches).
+        """
+        local = self.stop_event is not None and self.stop_event.is_set()
+        if not self._multi_process:
+            return local
+        from jax.experimental import multihost_utils
+
+        import numpy as np
+
+        return bool(multihost_utils.process_allgather(np.int32(local)).max())
 
     def train(self, epoch, train_state, loader, lr):
         batch_time = AverageMeter()
@@ -79,7 +100,7 @@ class Trainer:
 
         pending = None
         for i, (clips_u8, pids, _camids) in enumerate(loader):
-            if self.stop_event is not None and self.stop_event.is_set():
+            if self._stop_requested():
                 print(f"Epoch: [{epoch}][{i}/{num_steps}]\tstop requested; "
                       "ending epoch early")
                 break

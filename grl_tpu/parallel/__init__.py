@@ -12,6 +12,7 @@ from .multihost import (
     GlobalBatchLoader,
     global_batch_loader,
     maybe_initialize_distributed,
+    min_shard_size,
     shard_catalog,
 )
 
@@ -21,6 +22,7 @@ __all__ = [
     "GlobalBatchLoader",
     "global_batch_loader",
     "maybe_initialize_distributed",
+    "min_shard_size",
     "shard_catalog",
     "replicate",
     "shard_batch",

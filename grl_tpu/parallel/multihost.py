@@ -39,11 +39,17 @@ def maybe_initialize_distributed():
     or when already initialized. Env contract: standard JAX
     ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
     (also honored automatically on Cloud TPU pods).
+
+    Order matters: ``jax.distributed.initialize`` must run before ANY
+    backend-initializing jax call (``jax.devices``, ``jax.process_count``,
+    ...) or it raises — so the initialized-check here must not itself
+    touch the backends.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize()
 
 
 def shard_catalog(tracklets, process_index=None, process_count=None):
@@ -63,19 +69,39 @@ def shard_catalog(tracklets, process_index=None, process_count=None):
         process_count = jax.process_count()
     if process_count == 1:
         return list(tracklets)
+    assignment, _ = _assign_pids(tracklets, process_count)
+    return [item for item in tracklets if assignment[item[1]] == process_index]
 
+
+def _assign_pids(tracklets, process_count):
+    """Deterministic greedy balance: biggest pid groups first, each to the
+    currently lightest process (ties by process id). Returns
+    (pid -> process, per-process tracklet loads)."""
     by_pid = {}
     for item in tracklets:
         by_pid.setdefault(item[1], []).append(item)
-    # deterministic greedy balance: biggest pid groups first, each to the
-    # currently lightest process (ties by process id)
     loads = [0] * process_count
     assignment = {}
     for pid in sorted(by_pid, key=lambda p: (-len(by_pid[p]), p)):
         target = min(range(process_count), key=lambda i: (loads[i], i))
         assignment[pid] = target
         loads[target] += len(by_pid[pid])
-    return [item for item in tracklets if assignment[item[1]] == process_index]
+    return assignment, loads
+
+
+def min_shard_size(tracklets, process_count=None):
+    """Smallest per-process tracklet count under :func:`shard_catalog`'s
+    assignment. Every host can compute this locally (the greedy balance is
+    deterministic over the full catalog), so all hosts can cap their epoch
+    to the same step count — unequal per-host step counts would leave the
+    faster hosts' last train steps blocked in the gradient psum forever
+    (the slower host never dispatches them)."""
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_count == 1:
+        return len(tracklets)
+    _, loads = _assign_pids(tracklets, process_count)
+    return min(loads)
 
 
 def global_batch_loader(loader, mesh, axis="data"):

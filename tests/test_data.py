@@ -88,6 +88,18 @@ def test_random_identity_sampler_k_instances_per_pid():
     assert len(set(pid0_block)) == 4  # no replacement when enough tracklets
 
 
+def test_clip_loader_propagates_producer_errors():
+    """A decode failure in the producer thread must raise in the consumer,
+    not leave it blocked in q.get() forever with a dead producer."""
+    import pytest
+
+    bad = [("/nonexistent/frame.jpg", 0, 0)]  # string source -> decode fails
+    cd = ClipDataset(bad, seq_len=2, sample="rrs_train", height=32, width=16)
+    loader = ClipLoader(cd, batch_size=1, workers=1)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(iter(loader))
+
+
 # -- loader ------------------------------------------------------------
 
 

@@ -208,6 +208,81 @@ def test_shard_catalog_partitions_whole_pids():
     assert shard_catalog(tracklets, 0, 1) == tracklets
 
 
+def test_min_shard_size_caps_all_hosts_to_equal_steps():
+    """Unequal per-host shards must not yield unequal per-host step counts
+    (the bigger host's extra train steps would block in the gradient psum
+    forever). Every host computes the same cap locally."""
+    from grl_tpu.data import ClipDataset, ClipLoader, sampling
+    from grl_tpu.parallel import min_shard_size, shard_catalog
+
+    # 3 pids with 5/2/2 tracklets over 2 processes -> greedy gives 5 vs 4
+    frames = np.zeros((3, 32, 16, 3), np.uint8)
+    tracklets = [(frames, 0, 0)] * 5 + [(frames, 1, 0)] * 2 + [(frames, 2, 0)] * 2
+    shards = [shard_catalog(tracklets, i, 2) for i in range(2)]
+    assert sorted(len(s) for s in shards) == [4, 5]
+    cap = min_shard_size(tracklets, 2)
+    assert cap == 4
+    # with the cap, both hosts' loaders run the same number of steps
+    batch = 4
+    steps = []
+    for shard in shards:
+        cd = ClipDataset(shard, seq_len=2, sample="rrs_train", height=32, width=16)
+        loader = ClipLoader(cd, batch_size=batch,
+                            sampler=sampling.RandomPairSampler(shard, seed=0),
+                            drop_last=True, workers=1,
+                            max_batches=(2 * cap) // batch)
+        steps.append(len(loader))
+        assert len(list(iter(loader))) == len(loader)
+    assert steps[0] == steps[1] == 2
+    # single process: cap equals the full catalog (no truncation)
+    assert min_shard_size(tracklets, 1) == len(tracklets)
+
+
+def test_maybe_initialize_distributed_order(monkeypatch):
+    """jax.distributed.initialize must be reachable: the guard must not
+    itself initialize the backends (jax.process_count() does), or every
+    pod worker raises at startup."""
+    from grl_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: calls.append(1))
+    # no coordinator -> no-op, initialize never called
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    multihost.maybe_initialize_distributed()
+    assert not calls
+    # coordinator set -> initialize called exactly once (is_initialized is
+    # False in-process)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    multihost.maybe_initialize_distributed()
+    assert calls == [1]
+    # already initialized -> no second call
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    multihost.maybe_initialize_distributed()
+    assert calls == [1]
+
+
+def test_graft_xla_flag_merge():
+    """dryrun_multichip must RAISE an inherited smaller device-count flag,
+    not keep it (a 4-device flag would silently validate a 4-device mesh
+    for a dryrun_multichip(8) call)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_flags", osp.join(osp.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    merge = mod._merged_xla_flags
+    assert merge("", 8).strip() == "--xla_force_host_platform_device_count=8"
+    assert merge("--xla_force_host_platform_device_count=4", 8) == (
+        "--xla_force_host_platform_device_count=8")
+    assert merge("--xla_force_host_platform_device_count=16", 8) == (
+        "--xla_force_host_platform_device_count=16")
+    out = merge("--foo=1 --xla_force_host_platform_device_count=2 --bar=3", 8)
+    assert out == "--foo=1 --xla_force_host_platform_device_count=8 --bar=3"
+
+
 def test_global_batch_loader_feeds_train_step():
     """make_array_from_process_local_data batches (single-process
     degenerate case) must be byte-identical to shard_batch and feed the
