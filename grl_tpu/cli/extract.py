@@ -1,0 +1,176 @@
+"""Descriptor extraction + retrieval — the deployment surface.
+
+The reference couples feature extraction to the benchmark protocol
+(test_all.py always runs CMC/mAP). Production re-ID deploys differently:
+extract the 6144-d tracklet descriptors ONCE into an index, then serve
+retrieval queries against it. Two subcommands:
+
+  # build a gallery index (and a query set) from a dataset split
+  python -m grl_tpu.cli.extract features -d mars --data-dir ... \\
+      --logs-dir log/grl --split gallery -o gallery.npz
+  python -m grl_tpu.cli.extract features -d mars --data-dir ... \\
+      --logs-dir log/grl --split query -o query.npz
+
+  # rank queries against the index (optionally k-reciprocal re-ranked)
+  python -m grl_tpu.cli.extract rank --query query.npz \\
+      --gallery gallery.npz --topk 10 -o ranks.json
+
+``features`` reuses the evaluator's packed dense extraction (one compiled
+shape, descriptors device-resident until the final save); ``rank`` is a
+cosine matmul on device. Unlike the benchmark protocol (attevaluator.py:
+143-150), ``rank`` does NOT prepend queries to the gallery and does not
+junk-filter — it is retrieval, not CMC.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+
+import numpy as np
+
+
+def extract_split(args):
+    import jax
+
+    from ..data import get_data
+    from ..engine.evaluator import Evaluator
+    from ..engine.optim import SGD
+    from ..engine.train_step import init_train_state
+    from ..parallel import auto_mesh
+    from ..utils.serialization import load_train_state
+    from .train import build_models, state_to_device
+
+    dataset, num_classes, _train, query_loader, gallery_loader = get_data(
+        args.dataset,
+        args.data_dir,
+        1,
+        args.seq_len,
+        args.seq_srd,
+        args.workers,
+        only_eval=not args.rrs,
+        split_id=args.split_id,
+        dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
+    )
+    loader = {"query": query_loader, "gallery": gallery_loader}[args.split]
+
+    cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
+    template = init_train_state(
+        jax.random.PRNGKey(args.seed), cnn, siamese, siamese_uncorr,
+        num_classes, num_feat=cnn.num_feat, optimizer=SGD(),
+    )
+    ckpt = args.checkpoint or osp.join(args.logs_dir, "checkpoint_best.npz")
+    state, _ = load_train_state(template, ckpt)
+    state = state_to_device(state)
+    print(f"loaded {ckpt}")
+
+    mesh = auto_mesh(limit=args.devices or None)
+    evaluator = Evaluator(cnn, siamese, only_eval=not args.rrs,
+                          micro_batch=args.micro_batch, mesh=mesh)
+    feats, pids, camids = evaluator.extract_features(
+        state["params"], state["model_state"], loader
+    )
+    feats = np.asarray(feats, np.float32)
+    np.savez(args.out, features=feats, pids=pids, camids=camids)
+    print(f"wrote {feats.shape[0]} x {feats.shape[1]} descriptors to {args.out}")
+    return feats.shape
+
+
+def rank(args):
+    import jax.numpy as jnp
+
+    from ..engine.evaluator import cosine_distance
+
+    q = np.load(args.query)
+    g = np.load(args.gallery)
+    qf, gf = q["features"], g["features"]
+    distmat = np.asarray(cosine_distance(jnp.asarray(qf), jnp.asarray(gf)))
+    if args.rerank:
+        from ..engine.evaluator import _euclidean
+        from ..engine.rerank import re_ranking
+
+        distmat = re_ranking(
+            distmat,
+            np.asarray(_euclidean(jnp.asarray(qf), jnp.asarray(qf))),
+            np.asarray(_euclidean(jnp.asarray(gf), jnp.asarray(gf))),
+        )
+    topk = min(args.topk, gf.shape[0])
+    order = np.argsort(distmat, axis=1)[:, :topk]
+    results = [
+        {
+            "query": i,
+            "query_pid": int(q["pids"][i]),
+            "matches": [
+                {
+                    "gallery": int(j),
+                    "pid": int(g["pids"][j]),
+                    "camid": int(g["camids"][j]),
+                    # similarity = negative distance: the dot of the 6144-d
+                    # descriptor (3 L2-normed blocks -> range [-3, 3])
+                    "score": float(-distmat[i, j]),
+                }
+                for j in order[i]
+            ],
+        }
+        for i in range(order.shape[0])
+    ]
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote top-{topk} rankings for {order.shape[0]} queries to {args.out}")
+    return results
+
+
+def build_parser():
+    from ..config import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    parser = argparse.ArgumentParser(description="GRL-TPU descriptor extraction / retrieval")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    f = sub.add_parser("features", help="extract tracklet descriptors to .npz")
+    f.add_argument("-d", "--dataset", type=str, default=cfg.data.dataset,
+                   choices=["ilidsvidsequence", "prid2011sequence", "mars", "duke", "synthetic"])
+    f.add_argument("--data-dir", type=str, default="")
+    f.add_argument("--split", type=str, default="gallery", choices=["query", "gallery"])
+    f.add_argument("--split-id", type=int, default=0, dest="split_id")
+    f.add_argument("--seq_len", type=int, default=cfg.data.seq_len)
+    f.add_argument("--seq_srd", type=int, default=cfg.data.seq_srd)
+    f.add_argument("-j", "--workers", type=int, default=cfg.data.workers)
+    f.add_argument("--logs-dir", type=str, default="log/grl")
+    f.add_argument("--checkpoint", type=str, default="",
+                   help="explicit checkpoint (default: logs-dir/checkpoint_best.npz)")
+    f.add_argument("-o", "--out", type=str, required=True)
+    f.add_argument("--micro-batch", type=int, default=cfg.eval.micro_batch)
+    f.add_argument("--rrs", action="store_true",
+                   help="one RRS clip per tracklet instead of dense (faster, lossier)")
+    f.add_argument("--arch1", type=str, default=cfg.model.arch1)
+    f.add_argument("--arch2", type=str, default=cfg.model.arch2)
+    f.add_argument("--features", type=int, default=cfg.model.features)
+    f.add_argument("--bf16", action="store_true")
+    f.add_argument("--tiny", action="store_true")
+    f.add_argument("--seed", type=int, default=cfg.seed)
+    f.add_argument("--devices", type=int, default=0)
+
+    r = sub.add_parser("rank", help="rank queries against a gallery index")
+    r.add_argument("--query", type=str, required=True)
+    r.add_argument("--gallery", type=str, required=True)
+    r.add_argument("--topk", type=int, default=10)
+    r.add_argument("--rerank", action="store_true")
+    r.add_argument("-o", "--out", type=str, required=True)
+    return parser
+
+
+def main(args):
+    from ..parallel import maybe_initialize_distributed
+    from ..utils.profiling import enable_compilation_cache
+
+    if args.command == "rank":
+        return rank(args)
+    maybe_initialize_distributed()  # must precede any backend init
+    enable_compilation_cache()
+    return extract_split(args)
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -35,23 +35,31 @@ class Trainer:
         self.stop_event = stop_event
         self._multi_process = jax.process_count() > 1
 
-    def _stop_requested(self):
+    # multi-host: how often (in steps) the collective stop check runs. The
+    # allgather's device_get would otherwise serialize host and device
+    # every step, defeating the one-step metric pipelining below; at ~10
+    # steps the preemption response stays well inside a SIGTERM grace
+    # window while the barrier cost amortizes away.
+    STOP_SYNC_EVERY = 10
+
+    def _stop_requested(self, step_index):
         """Preemption check at the step boundary.
 
         Multi-host: the decision must be COLLECTIVE — SIGTERM lands on
         hosts at different times (or on only some), and a host that breaks
         while others dispatch another step leaves that step's gradient
         psum blocked forever. Every host contributes its local flag and
-        all stop iff any host saw the signal; this all-gather runs every
-        step on all hosts (same count everywhere — the loaders are capped
-        to equal step counts, data/loader.py max_batches).
+        all stop iff any host saw the signal. The check runs at the same
+        step indices on every host (the loaders are capped to equal step
+        counts, data/loader.py max_batches), every STOP_SYNC_EVERY steps.
         """
         local = self.stop_event is not None and self.stop_event.is_set()
         if not self._multi_process:
             return local
-        from jax.experimental import multihost_utils
-
+        if step_index % self.STOP_SYNC_EVERY:
+            return False
         import numpy as np
+        from jax.experimental import multihost_utils
 
         return bool(multihost_utils.process_allgather(np.int32(local)).max())
 
@@ -100,7 +108,7 @@ class Trainer:
 
         pending = None
         for i, (clips_u8, pids, _camids) in enumerate(loader):
-            if self._stop_requested():
+            if self._stop_requested(i):
                 print(f"Epoch: [{epoch}][{i}/{num_steps}]\tstop requested; "
                       "ending epoch early")
                 break

@@ -150,6 +150,44 @@ def test_sample_method_random_trains(tmp_path):
     assert 0.0 <= top1 <= 1.0
 
 
+def test_extract_and_rank_cli(tmp_path):
+    """The deployment surface: train -> extract gallery index + queries ->
+    rank, all through the extract CLI."""
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+
+    logs = tmp_path / "srv"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+
+    common = ["-d", "synthetic", "--tiny", "--seq_len", "2", "-j", "2",
+              "--logs-dir", str(logs)]
+    for split in ("query", "gallery"):
+        out = str(tmp_path / f"{split}.npz")
+        args = extract_parser().parse_args(["features", *common, "--split", split, "-o", out])
+        shape = extract_main(args)
+        assert shape[1] > 0
+        data = np.load(out)
+        assert data["features"].shape == shape
+        assert data["features"].shape[0] == data["pids"].shape[0] == data["camids"].shape[0]
+        norms = np.linalg.norm(data["features"], axis=1)
+        assert np.all(np.isfinite(norms)) and np.all(norms > 0)
+
+    ranks_path = str(tmp_path / "ranks.json")
+    args = extract_parser().parse_args([
+        "rank", "--query", str(tmp_path / "query.npz"),
+        "--gallery", str(tmp_path / "gallery.npz"), "--topk", "3", "-o", ranks_path,
+    ])
+    results = extract_main(args)
+    import json
+
+    on_disk = json.load(open(ranks_path))
+    assert len(on_disk) == len(results) == np.load(tmp_path / "query.npz")["features"].shape[0]
+    for rec in on_disk:
+        assert len(rec["matches"]) == 3
+        scores = [m["score"] for m in rec["matches"]]
+        assert scores == sorted(scores, reverse=True)  # best (highest cos) first
+
+
 def step_losses(logs):
     import json
 
