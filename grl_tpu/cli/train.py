@@ -288,14 +288,21 @@ def main(args):
                 )
                 is_best = top1 > best_top1
                 best_top1 = max(top1, best_top1)
-            # every epoch checkpoints (the async writer makes this ~free);
+            # checkpoint every --ckpt-freq epochs (default: every epoch —
+            # the async writer makes it ~free on production host links;
             # the reference only saved on eval epochs, losing up to 5
-            # epochs to a crash
-            checkpointer.save(
-                train_state,
-                {"epoch": epoch + 1, "best_top1": best_top1},
-                ckpt_path, is_best=is_best, best_name=best_path,
-            )
+            # epochs to a crash). Eval/best/final epochs always save.
+            if (
+                (epoch + 1) % args.ckpt_freq == 0
+                or is_best
+                or do_eval
+                or (epoch + 1) == args.epochs
+            ):
+                checkpointer.save(
+                    train_state,
+                    {"epoch": epoch + 1, "best_top1": best_top1},
+                    ckpt_path, is_best=is_best, best_name=best_path,
+                )
         checkpointer.wait()
     finally:
         for sig, handler in prev_handlers:
@@ -352,6 +359,9 @@ def build_parser():
                         help="also write TensorBoard event files (tensorboardX)")
     parser.add_argument("--devices", type=int, default=0,
                         help="cap the data-parallel device count (0 = all local devices)")
+    parser.add_argument("--ckpt-freq", type=int, default=1,
+                        help="checkpoint every N epochs (eval/best/final epochs always "
+                             "save; raise on bandwidth-starved links)")
     return parser
 
 

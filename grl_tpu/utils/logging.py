@@ -32,18 +32,35 @@ class Logger:
         self.close()
 
     def write(self, msg):
-        self.console.write(msg)
+        try:
+            self.console.write(msg)
+        except OSError:
+            # a dead controlling terminal / broken stdout pipe (orphaned
+            # nohup jobs, killed wrappers) must not take the run down —
+            # especially not inside the SIGTERM handler's print, where it
+            # would abort the graceful checkpoint
+            pass
         if self.file is not None:
             self.file.write(msg)
+            # hit disk per write like the reference (utils/logging.py:30-33):
+            # training logs are monitored with tail -f and must survive a
+            # hard kill mid-epoch
+            self.file.flush()
 
     def flush(self):
-        self.console.flush()
+        try:
+            self.console.flush()
+        except OSError:
+            pass
         if self.file is not None:
             self.file.flush()
             os.fsync(self.file.fileno())
 
     def close(self):
-        self.console.flush()
+        try:
+            self.console.flush()
+        except OSError:
+            pass
         if self.file is not None:
             self.file.close()
             self.file = None
