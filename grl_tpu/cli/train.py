@@ -102,6 +102,20 @@ def validate_args(args):
         )
 
 
+def _synthetic_kwargs(args):
+    """dataset_kwargs for -d synthetic (None for real datasets).
+
+    --synthetic-ids scales the generated catalog (hardware sanity runs
+    want more steps/epoch than the tiny test default)."""
+    if args.dataset != "synthetic":
+        return None
+    kwargs = dict(seed=args.seed)
+    n = getattr(args, "synthetic_ids", 0)
+    if n:
+        kwargs.update(num_train_ids=n, num_test_ids=max(2, n // 2))
+    return kwargs
+
+
 def main(args):
     from ..parallel import maybe_initialize_distributed
     from ..utils.profiling import enable_compilation_cache
@@ -144,7 +158,7 @@ def main(args):
         only_eval=bool(args.evaluate),
         split_id=args.split,
         eval_batch=cfg.data.eval_batch_size,
-        dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
+        dataset_kwargs=_synthetic_kwargs(args),
         train_sample="random" if args.sample_method == "random" else "rrs_train",
         process_shard=nproc > 1,
     )
@@ -359,6 +373,9 @@ def build_parser():
                         help="also write TensorBoard event files (tensorboardX)")
     parser.add_argument("--devices", type=int, default=0,
                         help="cap the data-parallel device count (0 = all local devices)")
+    parser.add_argument("--synthetic-ids", type=int, default=0,
+                        help="-d synthetic: number of generated train identities "
+                             "(0 = library default)")
     parser.add_argument("--ckpt-freq", type=int, default=1,
                         help="checkpoint every N epochs (eval/best/final epochs always "
                              "save; raise on bandwidth-starved links)")
