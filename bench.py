@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_ANCHOR_CLIPS_PER_SEC = 100.0
-MICRO_BATCH = 64
+MICRO_BATCH = 96  # measured best on v5e (64: 1077, 96: 1110, 112: 1076 clips/s)
 SEQ_LEN = 8
 H, W = 256, 128
 

@@ -60,7 +60,7 @@ class OptimConfig:
 
 @dataclass
 class EvalConfig:
-    micro_batch: int = 64         # descriptor chunking (ref fixes 8, attevaluator.py:74); 64 saturates a v5e
+    micro_batch: int = 96         # descriptor chunking (ref fixes 8, attevaluator.py:74); 96 measured +3% over 64 on v5e
     rerank: bool = False
     rerank_k1: int = 20
     rerank_k2: int = 6

@@ -100,15 +100,19 @@ class Evaluator:
         return jax.jit(describe)
 
     def _bucket(self, size):
-        """Smallest jit bucket (micro_batch or its half) covering ``size``:
-        two compiled shapes total, and a 30-clip rrs_test batch pads to 32
-        instead of burning half a 64-wide descriptor call on zeros."""
+        """Smallest jit bucket (micro_batch, its half, or its third)
+        covering ``size``: a 30-clip rrs_test batch pads to 32 (96/3)
+        instead of burning most of a 96-wide descriptor call on zeros. At
+        most two shapes actually compile per run (full chunks use
+        micro_batch; only the final partial chunk picks a sub-bucket)."""
         mb = self.micro_batch
-        half = mb // 2
-        if self.mesh is not None:
-            ndev = self.mesh.shape[self.mesh.axis_names[0]]
-            half = -(-half // ndev) * ndev
-        return half if (half > 0 and size <= half) else mb
+        ndev = (self.mesh.shape[self.mesh.axis_names[0]]
+                if self.mesh is not None else 1)
+        for denom in (3, 2):
+            b = -(-(mb // denom) // ndev) * ndev
+            if 0 < size <= b:
+                return b
+        return mb
 
     def describe_clips(self, params, state, clips_u8):
         """(n, S, h, w, 3) uint8 -> list of ((bucket, 3C) device array,
