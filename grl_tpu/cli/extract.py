@@ -40,18 +40,27 @@ def extract_split(args):
     from ..engine.train_step import init_train_state
     from ..parallel import auto_mesh
     from ..utils.serialization import load_train_state
-    from .train import build_models, state_to_device
+    from .train import _synthetic_kwargs, build_models, state_to_device
+
+    if jax.process_count() > 1:
+        # extraction is single-host by design: loaders are host-local and
+        # -o is one file. On a pod, run one extract per host over disjoint
+        # catalogs (or use cli.evaluate, whose mesh path is multi-host).
+        raise SystemExit("extract is single-host; multi-host pods should "
+                         "run per-host extracts or cli.evaluate")
 
     dataset, num_classes, _train, query_loader, gallery_loader = get_data(
         args.dataset,
         args.data_dir,
-        1,
+        # train loaders are unused here, but get_data validates the train
+        # batch when only_eval=False (--rrs): any even value satisfies it
+        2,
         args.seq_len,
         args.seq_srd,
         args.workers,
         only_eval=not args.rrs,
         split_id=args.split_id,
-        dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
+        dataset_kwargs=_synthetic_kwargs(args),
     )
     loader = {"query": query_loader, "gallery": gallery_loader}[args.split]
 
@@ -78,6 +87,7 @@ def extract_split(args):
 
 
 def rank(args):
+    import jax
     import jax.numpy as jnp
 
     from ..engine.evaluator import cosine_distance
@@ -87,14 +97,20 @@ def rank(args):
     qf, gf = q["features"], g["features"]
     distmat = np.asarray(cosine_distance(jnp.asarray(qf), jnp.asarray(gf)))
     if args.rerank:
+        # same backend dispatch as the evaluator: the device path (MXU set
+        # algebra + Pallas min-sum) is seconds where host numpy is minutes
+        # at MARS scale; the Pallas kernel is TPU-only
         from ..engine.evaluator import _euclidean
-        from ..engine.rerank import re_ranking
+        from ..engine.rerank import re_ranking, re_ranking_device
 
-        distmat = re_ranking(
-            distmat,
-            np.asarray(_euclidean(jnp.asarray(qf), jnp.asarray(qf))),
-            np.asarray(_euclidean(jnp.asarray(gf), jnp.asarray(gf))),
-        )
+        qq = _euclidean(jnp.asarray(qf), jnp.asarray(qf))
+        gg = _euclidean(jnp.asarray(gf), jnp.asarray(gf))
+        if jax.default_backend() == "tpu":
+            distmat = np.asarray(
+                re_ranking_device(jnp.asarray(distmat), qq, gg)
+            )
+        else:
+            distmat = re_ranking(distmat, np.asarray(qq), np.asarray(gg))
     topk = min(args.topk, gf.shape[0])
     order = np.argsort(distmat, axis=1)[:, :topk]
     results = [
@@ -106,8 +122,11 @@ def rank(args):
                     "gallery": int(j),
                     "pid": int(g["pids"][j]),
                     "camid": int(g["camids"][j]),
-                    # similarity = negative distance: the dot of the 6144-d
-                    # descriptor (3 L2-normed blocks -> range [-3, 3])
+                    # similarity = negative distance. Without --rerank:
+                    # the dot of the 6144-d descriptor (3 L2-normed blocks
+                    # -> range [-3, 3]). With --rerank: the blended
+                    # Jaccard/original scale — ordinal only, NOT comparable
+                    # to non-reranked scores or absolute thresholds.
                     "score": float(-distmat[i, j]),
                 }
                 for j in order[i]
@@ -150,6 +169,9 @@ def build_parser():
     f.add_argument("--bf16", action="store_true")
     f.add_argument("--tiny", action="store_true")
     f.add_argument("--seed", type=int, default=cfg.seed)
+    f.add_argument("--synthetic-ids", type=int, default=0,
+                   help="-d synthetic: must match the value the checkpoint "
+                        "was trained with (regenerates the same catalog)")
     f.add_argument("--devices", type=int, default=0)
 
     r = sub.add_parser("rank", help="rank queries against a gallery index")

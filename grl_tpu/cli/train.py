@@ -93,6 +93,11 @@ def validate_args(args):
             "feature width, reference grl_model.py); the flag only ever "
             "affected the dead per-frame baseline."
         )
+    if getattr(args, "ckpt_freq", 1) < 1:
+        raise SystemExit(
+            "--ckpt-freq must be >= 1 (eval/best/final epochs always "
+            "checkpoint regardless)"
+        )
     method = getattr(args, "sample_method", "rrs")
     if method not in ("rrs", "random"):
         raise SystemExit(

@@ -51,17 +51,32 @@ class Trainer:
         psum blocked forever. Every host contributes its local flag and
         all stop iff any host saw the signal. The check runs at the same
         step indices on every host (the loaders are capped to equal step
-        counts, data/loader.py max_batches), every STOP_SYNC_EVERY steps.
+        counts, data/loader.py max_batches), every STOP_SYNC_EVERY steps,
+        plus once at the end of every epoch (train()) so short epochs and
+        late signals still resolve collectively before the caller's own
+        stop_event gate runs.
         """
         local = self.stop_event is not None and self.stop_event.is_set()
         if not self._multi_process:
             return local
         if step_index % self.STOP_SYNC_EVERY:
             return False
+        return self._collective_stop()
+
+    def _collective_stop(self):
+        """Allgather the local stop flag; any host's signal stops ALL hosts
+        — and is propagated into every host's stop_event, so the caller's
+        post-epoch ``stop.is_set()`` checkpoint gate fires on hosts that
+        never received the signal themselves. Must be called the same
+        number of times on every host."""
         import numpy as np
         from jax.experimental import multihost_utils
 
-        return bool(multihost_utils.process_allgather(np.int32(local)).max())
+        local = self.stop_event is not None and self.stop_event.is_set()
+        stop = bool(multihost_utils.process_allgather(np.int32(local)).max())
+        if stop and self.stop_event is not None:
+            self.stop_event.set()
+        return stop
 
     def train(self, epoch, train_state, loader, lr):
         batch_time = AverageMeter()
@@ -138,6 +153,12 @@ class Trainer:
             end = time.time()
         if pending is not None:
             materialize(pending)
+        if self._multi_process:
+            # epoch-boundary collective resolution: every host runs this
+            # exactly once per epoch, so a signal that landed after the
+            # last periodic check (or on only one host) still sets every
+            # host's stop_event before the caller's checkpoint gate
+            self._collective_stop()
         if self.writer is not None:
             self.writer.flush()
         return train_state, {

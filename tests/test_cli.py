@@ -136,6 +136,7 @@ def test_unsupported_flags_rejected():
         ["--sampling-rate", "5"],
         ["--features", "512"],  # GRL arch: feature width fixed at 2048
         ["--arch1", "resnet50"],  # no live path (dead in the reference too)
+        ["--ckpt-freq", "0"],  # would ZeroDivisionError at the first epoch end
     ):
         args = train_parser().parse_args(base + extra)
         with pytest.raises(SystemExit):
@@ -172,6 +173,14 @@ def test_extract_and_rank_cli(tmp_path):
         norms = np.linalg.norm(data["features"], axis=1)
         assert np.all(np.isfinite(norms)) and np.all(norms > 0)
 
+    # --rrs (one RRS clip per tracklet) must work too, not just dense
+    args = extract_parser().parse_args([
+        "features", *common, "--split", "query", "--rrs",
+        "-o", str(tmp_path / "query_rrs.npz"),
+    ])
+    shape = extract_main(args)
+    assert shape == np.load(tmp_path / "query_rrs.npz")["features"].shape
+
     ranks_path = str(tmp_path / "ranks.json")
     args = extract_parser().parse_args([
         "rank", "--query", str(tmp_path / "query.npz"),
@@ -186,6 +195,15 @@ def test_extract_and_rank_cli(tmp_path):
         assert len(rec["matches"]) == 3
         scores = [m["score"] for m in rec["matches"]]
         assert scores == sorted(scores, reverse=True)  # best (highest cos) first
+
+    # re-ranked path (host numpy on CPU): same surface, ordinal scores
+    args = extract_parser().parse_args([
+        "rank", "--query", str(tmp_path / "query.npz"),
+        "--gallery", str(tmp_path / "gallery.npz"), "--topk", "3",
+        "--rerank", "-o", str(tmp_path / "ranks_rr.json"),
+    ])
+    rr = extract_main(args)
+    assert len(rr) == len(results)
 
 
 def step_losses(logs):
