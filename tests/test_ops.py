@@ -82,6 +82,25 @@ def test_staged_build_v_matches_single_jit():
     np.testing.assert_allclose(np.asarray(orig_q), np.asarray(orig)[:25], rtol=1e-6)
 
 
+def test_staged_builder_caches_stage_programs():
+    """The staged stages must be cached per (n, mesh): a fresh jit wrapper
+    per call re-traces six n^2-scale programs on EVERY periodic rerank
+    (the exact eval-tail recompile bug CLAUDE.md warns about)."""
+    import jax.numpy as jnp
+
+    import grl_tpu.engine.rerank as rr
+
+    qg, qq, gg = _synthetic_dists(25, 90)
+    rr._STAGED_CACHE.clear()
+    v1, _ = rr._build_v_staged(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
+    assert len(rr._STAGED_CACHE) == 1
+    stages = next(iter(rr._STAGED_CACHE.values()))
+    v2, _ = rr._build_v_staged(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
+    assert len(rr._STAGED_CACHE) == 1
+    assert next(iter(rr._STAGED_CACHE.values())) is stages  # same jitted fns
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
 def test_device_rerank_tiny_gallery_clamps_topk():
     """Galleries smaller than k1+1 must not crash (numpy's rank[:, :k]
     silently clamps; lax.top_k would raise) — found by the evaluate CLI
