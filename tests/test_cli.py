@@ -151,6 +151,44 @@ def test_sample_method_random_trains(tmp_path):
     assert 0.0 <= top1 <= 1.0
 
 
+def test_real_mars_layout_end_to_end(tmp_path):
+    """Dress rehearsal for the real-data round: generate the EXACT MARS
+    on-disk layout (bbox dirs + info .txt/.mat) with real JPEGs and run
+    the actual '-d mars' path through train + standalone eval — .mat
+    parsing, junk filtering, native JPEG decode, RRS over path tuples,
+    dense eval."""
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+    from make_fake_mars import make_fake_mars
+
+    root = make_fake_mars(str(tmp_path / "MARS"), train_ids=2, test_ids=2,
+                          frames_range=(8, 11), height=64, width=32)
+
+    logs = tmp_path / "run"
+    argv = ["-d", "mars", "--data-dir", root, "--tiny", "-b", "4",
+            "--seq_len", "2", "-j", "2", "--logs-dir", str(logs),
+            "--epochs", "1"]
+    args = train_parser().parse_args(argv)
+    stdout = sys.stdout
+    try:
+        top1 = train_main(args)
+    finally:
+        sys.stdout = stdout
+    assert 0.0 <= top1 <= 1.0
+    assert (logs / "checkpoint_best.npz").exists()
+
+    args = eval_parser().parse_args([
+        "-d", "mars", "--data-dir", root, "--tiny", "--seq_len", "2",
+        "-j", "2", "--logs-dir", str(logs),
+    ])
+    try:
+        top1_eval = eval_main(args)
+    finally:
+        sys.stdout = stdout
+    assert 0.0 <= top1_eval <= 1.0
+    # the split cache landed next to the data like the reference
+    assert any(p.suffix == ".json" for p in (tmp_path / "MARS").iterdir())
+
+
 def test_extract_and_rank_cli(tmp_path):
     """The deployment surface: train -> extract gallery index + queries ->
     rank, all through the extract CLI."""
