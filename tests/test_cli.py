@@ -189,6 +189,28 @@ def test_real_mars_layout_end_to_end(tmp_path):
     assert any(p.suffix == ".json" for p in (tmp_path / "MARS").iterdir())
 
 
+def test_real_duke_layout_end_to_end(tmp_path):
+    """Same dress rehearsal for the Duke directory layout (BASELINE
+    config 4: variable-length tracklets through the clip sampler)."""
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+    from make_fake_duke import make_fake_duke
+
+    root = make_fake_duke(str(tmp_path / "duke"), train_ids=2, test_ids=2,
+                          frames_range=(6, 14), height=64, width=32)
+    logs = tmp_path / "run"
+    argv = ["-d", "duke", "--data-dir", root, "--tiny", "-b", "4",
+            "--seq_len", "2", "-j", "2", "--logs-dir", str(logs),
+            "--epochs", "1"]
+    args = train_parser().parse_args(argv)
+    stdout = sys.stdout
+    try:
+        top1 = train_main(args)
+    finally:
+        sys.stdout = stdout
+    assert 0.0 <= top1 <= 1.0
+    assert (logs / "checkpoint_best.npz").exists()
+
+
 def test_extract_and_rank_cli(tmp_path):
     """The deployment surface: train -> extract gallery index + queries ->
     rank, all through the extract CLI."""

@@ -269,6 +269,49 @@ def test_mars_catalog(tmp_path):
     assert ds2.train == ds.train and ds2.query == ds.query
 
 
+def test_duke_catalog(tmp_path):
+    """Duke directory-walk catalog: F-index frame ordering (frames are
+    written in shuffled order), camid parsing for BOTH filename formats,
+    relabeling, dense sub-tracklet slicing, JSON cache round-trip."""
+    import sys as _sys
+
+    _sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+    from make_fake_duke import make_fake_duke
+
+    from grl_tpu.data.catalogs import DukeMTMCVidReID
+
+    root = make_fake_duke(str(tmp_path / "duke"), train_ids=3, test_ids=2,
+                          frames_range=(8, 12), height=32, width=16)
+    ds = DukeMTMCVidReID(root, verbose=False)
+    assert ds.num_train_pids == 3
+    assert len(ds.train) == 6  # one tracklet per (pid, cam)
+    assert sorted({pid for _, pid, _ in ds.train}) == [0, 1, 2]  # relabeled
+    # frames ordered by F-index despite shuffled write order
+    for paths, _, cam in ds.train:
+        import re
+
+        idx = [int(re.search(r"F(\d{4})", osp.basename(p)).group(1)) for p in paths]
+        assert idx == sorted(idx)
+        # camid parsed from the first frame name (old or new format), 0-based
+        assert cam in (0, 1)
+    # both camids present (both filename formats parsed)
+    assert {cam for _, _, cam in ds.train} == {0, 1}
+    # query keeps original pids; every query pid has a cross-camera
+    # gallery tracklet
+    q_pids = {pid for _, pid, _ in ds.query}
+    for _, pid, cam in ds.query:
+        assert any(g_pid == pid and g_cam != cam for _, g_pid, g_cam in ds.gallery)
+    assert q_pids == {pid for _, pid, _ in ds.gallery}
+    # dense variant slices long tracklets into sampling_step chunks
+    ds_dense = DukeMTMCVidReID(root, dense_sampling_step=4, use_cache=False, verbose=False)
+    assert len(ds_dense.train_dense) > len(ds.train)
+    for paths, _, _ in ds_dense.train_dense:
+        assert len(paths) >= 4
+    # cache round-trip
+    ds2 = DukeMTMCVidReID(root, verbose=False)
+    assert ds2.train == ds.train and ds2.query == ds.query
+
+
 # -- two-stream (RGB + optical flow) path -------------------------------
 
 
