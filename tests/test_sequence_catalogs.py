@@ -109,6 +109,37 @@ def make_raw_ilids(tmp_path, num_ids=4, frames=10):
     return str(root)
 
 
+def test_ilids_cli_end_to_end(tmp_path):
+    """The full '-d ilidsvidsequence' CLI path over a prepared raw layout:
+    raw tar tree -> prepare -> windowed catalog -> train + periodic eval
+    + checkpoint, all through main(). Closes the CLI loop for the
+    sequence-dataset family (mars/duke have their own e2e tests)."""
+    import sys
+
+    from grl_tpu.cli.train import build_parser, main
+    from grl_tpu.data.catalogs import prepare_ilidsvid
+
+    root = make_raw_ilids(tmp_path, num_ids=4, frames=10)
+    prepare_ilidsvid(root)
+
+    logs = tmp_path / "run"
+    args = build_parser().parse_args([
+        "-d", "ilidsvidsequence", "--data-dir", root, "--tiny", "-b", "4",
+        "--seq_len", "2", "--seq_srd", "2", "-j", "2",
+        "--logs-dir", str(logs), "--epochs", "1",
+    ])
+    stdout = sys.stdout
+    try:
+        top1 = main(args)
+    finally:
+        sys.stdout = stdout
+    assert 0.0 <= top1 <= 1.0
+    # per-epoch checkpoint always lands; the best copy only when top1 > 0
+    assert (logs / "checkpoint.npz").exists()
+    if top1 > 0:
+        assert (logs / "checkpoint_best.npz").exists()
+
+
 def test_prepare_ilidsvid_builds_canonical_layout(tmp_path):
     from grl_tpu.data.catalogs import iLIDSVIDSequence, prepare_ilidsvid
 
