@@ -101,7 +101,9 @@ def rank(args):
         # algebra + Pallas min-sum) is seconds where host numpy is minutes
         # at MARS scale; the Pallas kernel is TPU-only
         from ..engine.evaluator import _euclidean
-        from ..engine.rerank import re_ranking, re_ranking_device
+        from ..engine.rerank import re_ranking, re_ranking_device, warn_if_degenerate
+
+        warn_if_degenerate(qf.shape[0] + gf.shape[0])
 
         qq = _euclidean(jnp.asarray(qf), jnp.asarray(qf))
         gg = _euclidean(jnp.asarray(gf), jnp.asarray(gf))

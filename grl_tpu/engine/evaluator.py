@@ -263,6 +263,9 @@ class Evaluator:
         distmat = cosine_distance(qf_d, gf_d)
         if self.rerank:
             print("Applying person re-ranking ...")
+            from .rerank import warn_if_degenerate
+
+            warn_if_degenerate(qf.shape[0] + gf.shape[0], self.rerank_k1, self.rerank_k2)
             if on_tpu:
                 # On-device set algebra + Pallas Jaccard min-sum. The n^2
                 # distance matrices never leave the chip — only features go

@@ -24,6 +24,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def warn_if_degenerate(n_total, k1=20, k2=6):
+    """Print a warning when the (query+gallery) count is small relative to
+    the neighborhood sizes. At n ≲ 2·(k1+1) the k-reciprocal sets cover
+    most of the gallery, the Jaccard distances collapse, and re-ranking
+    SCRAMBLES an otherwise-correct ranking (measured: 66.7% → 0% rank-1
+    on a 13-item toy gallery — identically in this implementation and the
+    reference's, it is the algorithm's regime, not a bug). MARS-scale
+    galleries (~11k) are the intended operating point."""
+    if n_total < 2 * (k1 + 1):
+        print(
+            f"WARNING: re-ranking a {n_total}-item query∪gallery with "
+            f"k1={k1}, k2={k2}: k-reciprocal neighborhoods cover most of "
+            "the set at this scale and typically DEGRADE the ranking; "
+            "use --rerank only at realistic gallery sizes (or lower k1/k2)"
+        )
+        return True
+    return False
+
+
 def re_ranking_device(
     q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3, interpret=False,
     mesh=None, staged=None,
