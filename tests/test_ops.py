@@ -82,6 +82,15 @@ def test_staged_build_v_matches_single_jit():
     np.testing.assert_allclose(np.asarray(orig_q), np.asarray(orig)[:25], rtol=1e-6)
 
 
+def test_rerank_degenerate_scale_warning(capsys):
+    from grl_tpu.engine.rerank import warn_if_degenerate
+
+    assert warn_if_degenerate(13, k1=20)
+    assert "WARNING" in capsys.readouterr().out
+    assert not warn_if_degenerate(11310, k1=20)
+    assert capsys.readouterr().out == ""
+
+
 def test_staged_builder_caches_stage_programs():
     """The staged stages must be cached per (n, mesh): a fresh jit wrapper
     per call re-traces six n^2-scale programs on EVERY periodic rerank
