@@ -110,8 +110,9 @@ def evaluate_device(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100, m
 
     With ``mesh`` (1-axis), query rows shard over the mesh: each chip sorts
     and scores its row block (per-query work is independent) and XLA
-    reduces the CMC/mAP sums over ICI. Padded rows get pid -1, which
-    matches no gallery entry and drops out of the valid set.
+    reduces the CMC/mAP sums over ICI. Padded rows get a sentinel pid
+    below every real pid, so they match no gallery entry and drop out of
+    the valid set.
     """
     import jax
     import jax.numpy as jnp
@@ -131,7 +132,12 @@ def evaluate_device(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100, m
         q = distmat.shape[0]
         rows = -(-q // ndev) * ndev
         distmat = jnp.pad(distmat, ((0, rows - q), (0, 0)))
-        q_pids = np.pad(q_pids, (0, rows - q), constant_values=-1)
+        # pad sentinel must match NO gallery pid — not a constant -1,
+        # which a catalog passing raw pids could legitimately contain
+        # (junk pid -1), turning zero-distance pad rows into fabricated
+        # rank-1 hits on the mesh path only
+        sentinel = int(min(q_pids.min(), np.asarray(g_pids).min())) - 1
+        q_pids = np.pad(q_pids, (0, rows - q), constant_values=sentinel)
         q_camids = np.pad(q_camids, (0, rows - q), constant_values=-1)
         row_sh = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
@@ -197,13 +203,16 @@ def cmc(
         else:
             repeat = 1
         for _ in range(repeat):
+            # ranks are positions within the junk-COMPRESSED ordering
+            # (reference matches[i, valid], eva_functions.py:66-68): junk
+            # entries sorted ahead of a hit must not inflate its rank
             if single_gallery_shot:
                 sampled = np.zeros(len(valid), dtype=bool)
                 for _, js in groups.items():
                     sampled[rng.choice(js)] = True
-                index = np.nonzero(matches[i] & valid & sampled)[0]
+                index = np.nonzero(matches[i][sampled])[0]
             else:
-                index = np.nonzero(matches[i] & valid)[0]
+                index = np.nonzero(matches[i][valid])[0]
             delta = 1.0 / (len(index) * repeat)
             for j, k in enumerate(index):
                 if k - j >= topk:
@@ -255,7 +264,12 @@ def evaluate_market(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=100):
     """Alternate Market-1501-style protocol (reference
     eva_functions.py:187-245): good = same pid different camera; junk =
     pid -1 or same pid same camera; AP is the trapezoidal precision-recall
-    integral over the junk-compressed ranking."""
+    integral over the junk-compressed ranking.
+
+    Reference quirks reproduced exactly: the sort order is truncated to
+    ``max_rank`` BEFORE junk skipping (eva_functions.py:203 — hits whose
+    raw rank exceeds max_rank are dropped from CMC and AP), and mAP
+    averages over ALL queries including invalid ones (:209)."""
     distmat = np.asarray(distmat)
     q_pids, g_pids = np.asarray(q_pids), np.asarray(g_pids)
     q_camids, g_camids = np.asarray(q_camids), np.asarray(g_camids)

@@ -71,7 +71,14 @@ class TripletLoss:
 
 class TripletLossOIM:
     """Triplet against OIM lut class centers (reference triplet_oim.py:16-79):
-    distances are feature -> ``lut[ids]`` rows instead of feature -> feature."""
+    distances are feature -> ``lut[ids]`` rows instead of feature -> feature.
+
+    Reference quirk reproduced: the positive mask excludes the diagonal
+    (triplet_oim.py:35 ``same_id_mask ^ identity_mask``) even though here
+    ``dist[i, i]`` is the distance to feat_i's OWN class center — a
+    legitimate positive. For a batch-singleton id the positive term is
+    therefore 0, like the reference. (ALT module: the reference's call
+    site is commented out, trainer.py.)"""
 
     def __init__(self, margin="soft", batch_hard=True):
         self.margin = margin

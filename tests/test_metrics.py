@@ -103,6 +103,50 @@ def test_cmc_first_match_break():
     np.testing.assert_allclose(res, [0, 1, 1])
 
 
+def test_cmc_rank_is_junk_compressed():
+    """Ranks count positions in the junk-removed ordering (reference
+    matches[i, valid], eva_functions.py:66-68). A same-pid/same-cam junk
+    entry sorted FIRST must not push the true hit off rank-1 — with junk
+    usually being the query's own tracklet at distance ~0, the
+    uncompressed form systematically depressed rank-1."""
+    # query pid 5 cam 0; gallery [junk(5,cam0), hit(5,cam1), other(7,cam1)]
+    dist = np.array([[0.1, 0.2, 0.9]])
+    qid, gid = np.array([5]), np.array([5, 5, 7])
+    qc, gc = np.array([0]), np.array([0, 1, 1])
+    for kwargs in (dict(first_match_break=True), dict()):
+        res = metrics.cmc(dist, qid, gid, qc, gc, topk=3, **kwargs)
+        np.testing.assert_allclose(res, [1, 1, 1], err_msg=str(kwargs))
+    # single-gallery-shot config: the sampled set never contains junk,
+    # so the hit is rank-0 in every resample
+    res = metrics.cmc(dist, qid, gid, qc, gc, topk=3,
+                      single_gallery_shot=True, seed=0)
+    np.testing.assert_allclose(res, [1, 1, 1])
+
+
+def test_evaluate_device_pad_rows_never_match_junk_pids(eightdev_mesh=None):
+    """Mesh padding sentinel must not collide with a real gallery pid:
+    a catalog passing raw pids can legitimately contain -1 (junk), and a
+    zero-distance pad row matching it would fabricate a rank-1 hit."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        return
+    from grl_tpu.parallel import data_mesh
+
+    mesh = data_mesh(8)
+    rng = np.random.RandomState(0)
+    # 5 queries (pads to 8 on the mesh); gallery contains pid -1 entries
+    dist = rng.rand(5, 6).astype(np.float32)
+    q_pids = np.array([1, 2, 3, 1, 2])
+    g_pids = np.array([1, 2, 3, -1, -1, 2])
+    q_cams = np.zeros(5, np.int32)
+    g_cams = np.ones(6, np.int32)
+    host = metrics.evaluate(dist, q_pids, g_pids, q_cams, g_cams)
+    dev = metrics.evaluate_device(dist, q_pids, g_pids, q_cams, g_cams, mesh=mesh)
+    np.testing.assert_allclose(dev[0][: len(host[0])], host[0], atol=1e-6)
+    np.testing.assert_allclose(dev[1], host[1], atol=1e-6)
+
+
 def jaccard_oracle(qg, qq, gg, k1, k2, lam):
     """Tiny loop oracle following the paper definitions directly."""
     nq = qg.shape[0]
