@@ -24,24 +24,14 @@ def lr_mult_tree(params, rules, default=1.0):
     (joined by '/') to multipliers; longest prefix wins."""
 
     def mult_for(path):
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         best, best_len = default, -1
         for prefix, m in rules.items():
-            if (path + "/").startswith(prefix + "/") and len(prefix) > best_len:
+            if (key + "/").startswith(prefix + "/") and len(prefix) > best_len:
                 best, best_len = m, len(prefix)
         return best
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    muls = {}
-    for path, _leaf in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        muls[key] = mult_for(key)
-
-    def build(tree, prefix=""):
-        if isinstance(tree, dict):
-            return {k: build(v, f"{prefix}/{k}" if prefix else k) for k, v in tree.items()}
-        return muls[prefix]
-
-    return build(params)
+    return jax.tree_util.tree_map_with_path(lambda path, _leaf: mult_for(path), params)
 
 
 class SGD:

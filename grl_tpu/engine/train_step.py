@@ -28,6 +28,7 @@ weight decay. Neither affects any model output or evaluation result.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -35,9 +36,18 @@ import jax.numpy as jnp
 
 from .. import losses
 
+# module-scope criterion like the reference (trainer.py:12-13 instantiates
+# TripletLoss('soft', True) at import time); stateless
+_TRIPLET = losses.TripletLoss("soft", True)
+
 
 def top1_accuracy(logits, targets):
     return jnp.mean(jnp.argmax(logits, axis=-1) == targets)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_init(model):
+    return jax.jit(model.init)
 
 
 def init_train_state(rng, cnn, siamese, siamese_uncorr, num_classes, num_feat=2048,
@@ -47,10 +57,12 @@ def init_train_state(rng, cnn, siamese, siamese_uncorr, num_classes, num_feat=20
 
     r1, r2, r3 = jax.random.split(rng, 3)
     # jit each init: one compiled program instead of hundreds of eager
-    # per-layer RNG dispatches (order-of-magnitude startup win on TPU)
-    cnn_p, cnn_s = jax.jit(cnn.init)(r1)
-    sia_p, sia_s = jax.jit(siamese.init)(r2)
-    unc_p, unc_s = jax.jit(siamese_uncorr.init)(r3)
+    # per-layer RNG dispatches (order-of-magnitude startup win on TPU);
+    # wrappers are cached per model object (CLAUDE.md: a fresh jit per
+    # call discards the compile cache)
+    cnn_p, cnn_s = _jit_init(cnn)(r1)
+    sia_p, sia_s = _jit_init(siamese)(r2)
+    unc_p, unc_s = _jit_init(siamese_uncorr)(r3)
     params = {"cnn": cnn_p, "siamese": sia_p, "siamese_uncorr": unc_p}
     model_state = {"cnn": cnn_s, "siamese": sia_s, "siamese_uncorr": unc_s}
     luts = {
@@ -98,7 +110,7 @@ def grl_loss_fn(params, model_state, luts, clips, targets, *, cnn, siamese,
     )
     vid_logits = losses.oim_logits(siamese_out, luts["corr"], oim_scalar)
     corr_id_loss_vid = losses.cross_entropy(vid_logits, target)
-    corr_loss_tri = jnp.mean(losses.TripletLoss("soft", True)(siamese_out, target))
+    corr_loss_tri = jnp.mean(_TRIPLET(siamese_out, target))
 
     # (3) verification BCE == 2-class cross-entropy of the raw scores
     # (stable log_softmax form; see losses.pair_loss_from_logits)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .. import nn
 from ..nn import functional as F
+from ..nn.conv import conv2d
 from ..nn.module import Module, init_children
 from .resnet import resnet50_trunk
 
@@ -88,8 +89,6 @@ class GCEBackbone(Module):
         k_full = params["corr_atte"]["0"]["kernel"]  # (1, 1, ch+glo, glo)
         ch = x.shape[-1]
         k_x, k_g = k_full[:, :, :ch, :], k_full[0, 0, ch:, :]
-
-        from ..nn.conv import conv2d
 
         h0 = conv2d(x, k_x, compute_dtype=self.compute_dtype)
         g0 = jnp.dot(
