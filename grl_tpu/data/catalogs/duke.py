@@ -36,12 +36,24 @@ class DukeMTMCVidReID:
             if not osp.exists(osp.join(root, sub)):
                 raise RuntimeError(f"'{osp.join(root, sub)}' is not available")
 
-        cache = (lambda n: osp.join(root, n)) if use_cache else (lambda n: None)
+        # cache files are keyed by the parameters the split content
+        # depends on (a stale default-keyed cache would silently win)
+        def cache(n):
+            if not use_cache:
+                return None
+            if min_seq_len:
+                n = n.replace(".json", f"_msl{min_seq_len}.json")
+            return osp.join(root, n)
+
+        dense_name = (
+            "split_train_dense.json" if dense_sampling_step == 32
+            else f"split_train_dense_s{dense_sampling_step}.json"
+        )
         self.train, self.num_train_pids, n_train = self._process_dir(
             osp.join(root, "train"), cache("split_train.json"), relabel=True
         )
         self.train_dense, _, _ = self._process_dir(
-            osp.join(root, "train"), cache("split_train_dense.json"), relabel=True,
+            osp.join(root, "train"), cache(dense_name), relabel=True,
             sampling_step=dense_sampling_step,
         )
         self.query, self.num_query_pids, n_query = self._process_dir(
@@ -98,13 +110,17 @@ class DukeMTMCVidReID:
                         tracklets.append((chunk, label, camid))
 
         if json_path:
-            write_json(
-                {
-                    "tracklets": tracklets,
-                    "num_tracklets": len(tracklets),
-                    "num_pids": len(pid2label),
-                    "num_imgs_per_tracklet": num_imgs,
-                },
-                json_path,
-            )
+            try:
+                write_json(
+                    {
+                        "tracklets": tracklets,
+                        "num_tracklets": len(tracklets),
+                        "num_pids": len(pid2label),
+                        "num_imgs_per_tracklet": num_imgs,
+                    },
+                    json_path,
+                )
+            except OSError as e:
+                # read-only dataset mounts: the cache is an optimization
+                print(f"Duke: split cache not written ({e}); continuing uncached")
         return tracklets, len(pid2label), num_imgs

@@ -50,7 +50,15 @@ class Mars:
         gallery_mask[query_idx] = False
         track_gallery = track_test[gallery_mask, :]
 
-        cache = (lambda n: osp.join(root, n)) if use_cache else (lambda n: None)
+        # non-default min_seq_len gets its own cache files: the split
+        # content depends on it, and a stale default-keyed cache would be
+        # silently returned otherwise
+        def cache(n):
+            if not use_cache:
+                return None
+            if min_seq_len:
+                n = n.replace(".json", f"_msl{min_seq_len}.json")
+            return osp.join(root, n)
 
         self.train, self.num_train_pids, train_imgs, _, _ = self._process(
             train_names, track_train, "bbox_train", relabel=True,
@@ -124,21 +132,27 @@ class Mars:
             if len(img_paths) >= min_seq_len:
                 tracklets.append((img_paths, label, camid))
                 num_imgs.append(len(img_paths))
-            pids_out.append(label)
-            camids_out.append(camid)
+                # pid/camid lists must stay PARALLEL to the tracklet list
+                # (queryinfo/galleryinfo consumers zip them), so filtered
+                # tracklets are excluded here too
+                pids_out.append(label)
+                camids_out.append(camid)
 
         if json_path:
-            write_json(
-                {
-                    "tracklets": tracklets,
-                    "num_tracklets": len(tracklets),
-                    "num_pids": len(pid_list),
-                    "num_imgs_per_tracklet": num_imgs,
-                    "pids": pids_out,
-                    "camid": camids_out,
-                },
-                json_path,
-            )
+            payload = {
+                "tracklets": tracklets,
+                "num_tracklets": len(tracklets),
+                "num_pids": len(pid_list),
+                "num_imgs_per_tracklet": num_imgs,
+                "pids": pids_out,
+                "camid": camids_out,
+            }
+            try:
+                write_json(payload, json_path)
+            except OSError as e:
+                # read-only dataset mounts are common; the cache is an
+                # optimization, not a requirement
+                print(f"MARS: split cache not written ({e}); continuing uncached")
         return tracklets, len(pid_list), num_imgs, pids_out, camids_out
 
     def _print_stats(self, num_imgs):

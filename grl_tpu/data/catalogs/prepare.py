@@ -35,14 +35,21 @@ from ...utils.serialization import write_json
 
 
 def _extract(tar_path, out_dir, sentinel):
-    """Extract unless ``out_dir/sentinel`` already exists — checking the
-    sentinel (not out_dir) means an interrupted extraction is retried
-    instead of silently yielding an empty dataset."""
-    if osp.isdir(osp.join(out_dir, sentinel)):
+    """Extract unless a completion marker exists.
+
+    The sentinel directory alone cannot be the guard: tar creates the
+    top-level directory at the START of extraction, so a killed run
+    would be skipped on retry and the partial tree silently accepted.
+    A ``.extracted`` marker written only AFTER ``extractall`` returns is
+    the completion witness; an interrupted extraction is re-run."""
+    marker = osp.join(out_dir, f".extracted_{sentinel}")
+    if osp.isdir(osp.join(out_dir, sentinel)) and osp.exists(marker):
         return
     os.makedirs(out_dir, exist_ok=True)
     with tarfile.open(tar_path) as tar:
         tar.extractall(out_dir, filter="data")  # no path traversal
+    with open(marker, "w") as f:
+        f.write("ok\n")
 
 
 def _relayout(frame_lists, out_dir):

@@ -28,6 +28,12 @@ from ...utils.serialization import read_json
 
 
 def _windows(n, seq_len, seq_srd):
+    if n == 0:
+        # a pid with no frames on this camera (partial extraction, or a
+        # genuinely single-camera identity) must yield NO tracklets — a
+        # (0, 0) window would become an empty-path tracklet that crashes
+        # clip sampling (rrs_grid on zero frames)
+        return []
     inds = [(s, s + seq_len) for s in range(0, n - seq_len, seq_srd)]
     return inds if inds else [(0, n)]
 

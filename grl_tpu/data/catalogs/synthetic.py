@@ -73,12 +73,19 @@ class SyntheticVideoReID:
                 for k in range(tracklets_per_id):
                     t = (make_tracklet(gid, cam), pid, cam)
                     if cam == 0 and k == 0:
+                        # queries are EXCLUDED from the catalog gallery,
+                        # like MARS's positional query_IDX split: the
+                        # evaluator re-adds them (gallery = query ∪
+                        # gallery, attevaluator.py:143-145), so keeping
+                        # them here would duplicate every query row in
+                        # the combined gallery
                         self.query.append(t)
                         q_pid.append(pid)
                         q_cam.append(cam)
-                    self.gallery.append(t)
-                    g_pid.append(pid)
-                    g_cam.append(cam)
+                    else:
+                        self.gallery.append(t)
+                        g_pid.append(pid)
+                        g_cam.append(cam)
 
         self.num_train_pids = num_train_ids
         self.num_query_pids = num_test_ids

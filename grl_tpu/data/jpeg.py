@@ -47,7 +47,13 @@ def _load():
         if _available is not None:
             return _available
         try:
-            if not osp.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH):
+            # a prebuilt .so without the source alongside (deployment
+            # without a toolchain) must load, not fall back to PIL — only
+            # compare mtimes when the source actually exists
+            if not osp.exists(_SO_PATH) or (
+                osp.exists(_SRC_PATH)
+                and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
+            ):
                 _build()
             lib = ctypes.CDLL(_SO_PATH)
             lib.grl_decode_resize.restype = ctypes.c_int

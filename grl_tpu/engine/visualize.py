@@ -17,16 +17,17 @@ a uint8 array — same contract as the loaders.
 
 from __future__ import annotations
 
-import os
 import os.path as osp
-import shutil
 
 import numpy as np
 
+from ..data.transforms import IMAGENET_MEAN as _MEAN, IMAGENET_STD as _STD
 from ..utils.serialization import mkdir_if_missing
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# single source of truth with the input normalization (transforms.py:28):
+# reverse_normalize must undo exactly what normalize applied
+IMAGENET_MEAN = np.asarray(_MEAN, np.float32)
+IMAGENET_STD = np.asarray(_STD, np.float32)
 
 
 def _first_frame(item):

@@ -197,6 +197,13 @@ def load_train_state(template, fpath):
             v = data[k]
             if np.shape(t) != v.shape:
                 raise ValueError(f"shape mismatch at {k}: {np.shape(t)} vs {v.shape}")
+            # a dtype-mismatched restore would silently recompile the
+            # train step under different dtypes and diverge from the
+            # template configuration. Python-scalar template leaves (e.g.
+            # lr multipliers) carry no dtype — they become weak-typed
+            # anyway and are exempt.
+            if hasattr(t, "dtype") and t.dtype != v.dtype:
+                raise ValueError(f"dtype mismatch at {k}: {t.dtype} vs {v.dtype}")
             leaves.append(v)
         extras = {
             k[len("extra_"):]: data[k] for k in data.files if k.startswith("extra_")

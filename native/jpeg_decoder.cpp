@@ -33,6 +33,11 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+// 100 MP cap: rejects hostile headers (a truncated/malicious JPEG can
+// declare 65500x65500 ~ 12.8 GB) before the allocation, independent of
+// the bad_alloc guard at the extern "C" boundary.
+constexpr size_t kMaxPixels = 100u * 1000 * 1000;
+
 // Decode a JPEG buffer to tightly-packed RGB; returns empty on failure.
 bool decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
                 int* height, int* width) {
@@ -52,6 +57,10 @@ bool decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
 
   const int h = cinfo.output_height;
   const int w = cinfo.output_width;
+  if (static_cast<size_t>(h) * w > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   out->resize(static_cast<size_t>(h) * w * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
@@ -178,23 +187,36 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
 
 extern "C" {
 
+// NOTE: C++ exceptions (e.g. std::bad_alloc from vector::resize on a
+// hostile header) must not unwind through the C ABI into ctypes — that
+// is std::terminate. Every entry point catches and returns rc != 0 so
+// the Python side falls back to PIL (grl_tpu/data/jpeg.py).
+
 int grl_decode_dims(const uint8_t* buf, size_t len, int* h, int* w) {
-  std::vector<uint8_t> rgb;
-  return decode_rgb(buf, len, &rgb, h, w) ? 0 : 1;
+  try {
+    std::vector<uint8_t> rgb;
+    return decode_rgb(buf, len, &rgb, h, w) ? 0 : 1;
+  } catch (...) {
+    return 1;
+  }
 }
 
 // Decode `buf` and write (out_h, out_w, 3) RGB into out_rgb.
 int grl_decode_resize(const uint8_t* buf, size_t len, int out_h, int out_w,
                       uint8_t* out_rgb) {
-  std::vector<uint8_t> rgb;
-  int h = 0, w = 0;
-  if (!decode_rgb(buf, len, &rgb, &h, &w)) return 1;
-  if (h == out_h && w == out_w) {
-    std::memcpy(out_rgb, rgb.data(), rgb.size());
-  } else {
-    resize_bilinear(rgb.data(), h, w, out_rgb, out_h, out_w);
+  try {
+    std::vector<uint8_t> rgb;
+    int h = 0, w = 0;
+    if (!decode_rgb(buf, len, &rgb, &h, &w)) return 1;
+    if (h == out_h && w == out_w) {
+      std::memcpy(out_rgb, rgb.data(), rgb.size());
+    } else {
+      resize_bilinear(rgb.data(), h, w, out_rgb, out_h, out_w);
+    }
+    return 0;
+  } catch (...) {
+    return 1;
   }
-  return 0;
 }
 
 }  // extern "C"
