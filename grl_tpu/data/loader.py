@@ -67,7 +67,7 @@ class ClipDataset:
         self.sample = sample
         self.height = height
         self.width = width
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.flow_map = flow_map
 
     def _frame(self, source, flow_source, index):
@@ -80,16 +80,25 @@ class ClipDataset:
     def __len__(self):
         return len(self.tracklets)
 
-    def get(self, index):
+    def _item_rng(self, index, epoch):
+        """Deterministic RNG per (seed, epoch, tracklet): the loader's
+        thread pool calls get() concurrently, and draws from one shared
+        RandomState would land on tracklets in scheduling order — frame
+        sampling would differ between identically-seeded runs."""
+        return np.random.RandomState(
+            (self.seed * 1_000_003 + epoch * 7919 + index) % (2**31 - 1)
+        )
+
+    def get(self, index, epoch=0):
         source, pid, camid = self.tracklets[index]
         flow_source = self.flow_map(source) if self.flow_map is not None else None
         n = _num_frames(source)
         if self.sample == "rrs_train":
-            idx = rrs_train_indices(n, self.seq_len, self.rng)
+            idx = rrs_train_indices(n, self.seq_len, self._item_rng(index, epoch))
         elif self.sample == "rrs_test":
             idx = rrs_test_indices(n, self.seq_len)
         elif self.sample == "random":
-            idx = random_window_indices(n, self.seq_len, self.rng)
+            idx = random_window_indices(n, self.seq_len, self._item_rng(index, epoch))
         elif self.sample == "dense":
             grid = dense_indices(n, self.seq_len)
             clips = np.stack(
@@ -138,6 +147,9 @@ class ClipLoader:
         # sharded train steps whose collectives block forever); the caller
         # caps all hosts to the smallest shard's step count
         self.max_batches = max_batches
+        # epoch counter: salts the per-item sampling RNG so rrs_train
+        # draws differ across epochs (one loader is iterated per epoch)
+        self._epoch = 0
         if dataset.sample == "dense" and batch_size != 1:
             raise ValueError("dense sampling requires batch_size=1")
 
@@ -150,12 +162,17 @@ class ClipLoader:
         return idx
 
     def __len__(self):
-        n = len(self._indices()) if self.sampler is not None else len(self.dataset)
+        # len(sampler), never a materialized pass: list(iter(sampler))
+        # would consume sampler RNG as a side effect of len(), silently
+        # shifting every later epoch's batch composition
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         n = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
         return n if self.max_batches is None else min(n, self.max_batches)
 
     def __iter__(self):
         indices = self._indices()
+        epoch = self._epoch
+        self._epoch += 1
         batches = [
             indices[i : i + self.batch_size]
             for i in range(0, len(indices), self.batch_size)
@@ -176,7 +193,9 @@ class ClipLoader:
                     for batch in batches:
                         if stop.is_set():
                             break
-                        items = list(pool.map(self.dataset.get, batch))
+                        items = list(
+                            pool.map(lambda i: self.dataset.get(i, epoch), batch)
+                        )
                         if self.dataset.sample == "dense":
                             clips = items[0][0]
                         else:
@@ -274,6 +293,13 @@ def get_data(
             from ..parallel import min_shard_size, shard_catalog
 
             max_batches = (2 * min_shard_size(train_list)) // batch_size
+            if max_batches == 0:
+                raise ValueError(
+                    "multi-host: the smallest identity shard "
+                    f"({min_shard_size(train_list)} tracklets) cannot fill one "
+                    f"local batch of {batch_size} — every epoch would run zero "
+                    "steps; use fewer hosts or a smaller per-host batch"
+                )
             train_list = shard_catalog(train_list)
         train_set = ClipDataset(train_list, seq_len, train_sample, height, width, seed=seed,
                                 flow_map=flow_map)

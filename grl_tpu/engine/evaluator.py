@@ -269,15 +269,18 @@ class Evaluator:
             if on_tpu:
                 # On-device set algebra + Pallas Jaccard min-sum. The n^2
                 # distance matrices never leave the chip — only features go
-                # up; ranking below also runs on device. Drop the feature
-                # arrays first: at LS-VID scale the staged re-ranking runs
-                # at the HBM capacity cliff and every stray n-sized buffer
-                # counts (the distance inputs themselves are donated).
+                # up; ranking below also runs on device. Drop EVERY
+                # reference to the feature arrays first (aliases and the
+                # originals): at LS-VID scale the staged re-ranking runs
+                # at the HBM capacity cliff and the ~860 MB of fp32
+                # features would otherwise stay live through it (the
+                # distance inputs themselves are donated).
                 from .rerank import re_ranking_device
 
                 qq = _euclidean(qf_d, qf_d)
                 gg = _euclidean(gf_d, gf_d)
                 del qf_d, gf_d
+                qf = gf = None
                 distmat = re_ranking_device(
                     distmat, qq, gg,
                     k1=self.rerank_k1, k2=self.rerank_k2,
@@ -324,6 +327,13 @@ class Evaluator:
 
 
 def _euclidean(a, b):
+    """Pairwise euclidean for the re-ranking inputs.
+
+    Deliberately NOT losses.triplet.euclidean_cdist: that one adds the
+    eps INSIDE the sqrt to mirror the reference's TripletLoss.cdist
+    (torch-oracle-pinned), while this clamps the squared distance — the
+    form the device/numpy re-ranking equivalence tests pin to 3e-7.
+    Keep the two parities separate."""
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     sq = (

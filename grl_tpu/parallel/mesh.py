@@ -80,6 +80,13 @@ def sharded_train_state(train_state, mesh):
     return replicate(train_state, mesh)
 
 
+@jax.jit
+def _neg_cosine(q, g):
+    # module-level jit: defined in-function it would retrace per call
+    # (CLAUDE.md eval-tail recompile bug class)
+    return -jnp.dot(q, g.T, preferred_element_type=jnp.float32)
+
+
 def sharded_cosine_distance(qf, gf, mesh, axis="data"):
     """-qf @ gfᵀ with gallery columns sharded over the mesh.
 
@@ -89,10 +96,4 @@ def sharded_cosine_distance(qf, gf, mesh, axis="data"):
     """
     gf_sh = jax.device_put(jnp.asarray(gf), NamedSharding(mesh, P(axis, None)))
     qf_r = jax.device_put(jnp.asarray(qf), NamedSharding(mesh, P()))
-
-    @jax.jit
-    def dist(q, g):
-        return -jnp.dot(q, g.T, preferred_element_type=jnp.float32)
-
-    out = dist(qf_r, gf_sh)
-    return out
+    return _neg_cosine(qf_r, gf_sh)

@@ -35,21 +35,33 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 def maybe_initialize_distributed():
     """Call ``jax.distributed.initialize`` when a coordinator is configured.
 
-    No-op when single-process (no coordinator address in the environment)
-    or when already initialized. Env contract: standard JAX
-    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
-    (also honored automatically on Cloud TPU pods).
+    Env contract:
+    - ``JAX_COORDINATOR_ADDRESS`` set -> initialize, passing
+      ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` through when present
+      (jax itself reads only the address env; the process count/id would
+      otherwise rely on a Slurm/OMPI/k8s/TPU-metadata cluster detector).
+    - ``GRL_DISTRIBUTED_AUTODETECT=1`` -> argless initialize, for Cloud
+      TPU pods whose launchers set no JAX_* envs (jax's cluster detection
+      reads the TPU metadata server). Opt-in because detection probes
+      the environment and is wrong to attempt on tunneled dev setups.
+    - neither -> no-op (single-process).
 
     Order matters: ``jax.distributed.initialize`` must run before ANY
     backend-initializing jax call (``jax.devices``, ``jax.process_count``,
     ...) or it raises — so the initialized-check here must not itself
     touch the backends.
     """
-    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        return
     if jax.distributed.is_initialized():
         return
-    jax.distributed.initialize()
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
+    elif os.environ.get("GRL_DISTRIBUTED_AUTODETECT") == "1":
+        jax.distributed.initialize()
 
 
 def shard_catalog(tracklets, process_index=None, process_count=None):

@@ -88,6 +88,39 @@ def test_random_identity_sampler_k_instances_per_pid():
     assert len(set(pid0_block)) == 4  # no replacement when enough tracklets
 
 
+def test_loader_deterministic_under_threads_and_len():
+    """Identically-seeded runs must produce identical batches regardless
+    of decode-thread scheduling (frame sampling is keyed by (seed, epoch,
+    tracklet), not a shared RandomState), and len(loader) must not burn
+    sampler RNG (it used to materialize a full sampler pass)."""
+    ds = synth()
+
+    def run(extra_len_calls):
+        cd = ClipDataset(ds.train, seq_len=4, sample="rrs_train",
+                         height=32, width=16, seed=3)
+        loader = ClipLoader(
+            cd, batch_size=4,
+            sampler=sampling.RandomPairSampler(ds.train, seed=1),
+            drop_last=True, workers=4,
+        )
+        epochs = []
+        for _ in range(2):
+            for _ in range(extra_len_calls):
+                len(loader)
+            epochs.append([clips.copy() for clips, _, _ in loader])
+        return epochs
+
+    a, b = run(0), run(3)
+    for ep_a, ep_b in zip(a, b):
+        assert len(ep_a) == len(ep_b)
+        for ca, cb in zip(ep_a, ep_b):
+            np.testing.assert_array_equal(ca, cb)
+    # rrs_train re-draws across epochs (epoch salt)
+    assert any(
+        not np.array_equal(x, y) for x, y in zip(a[0], a[1])
+    ), "epoch 0 and 1 sampled identical frames — epoch salt not applied"
+
+
 def test_clip_loader_propagates_producer_errors():
     """A decode failure in the producer thread must raise in the consumer,
     not leave it blocked in q.get() forever with a dead producer."""

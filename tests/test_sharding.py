@@ -295,16 +295,17 @@ def test_global_batch_loader_feeds_train_step():
     cd = ClipDataset(ds.train, seq_len=2, sample="rrs_train", height=32, width=16)
     mesh = data_mesh(8)
 
-    def batches(seed):
-        cd.rng = np.random.RandomState(seed)
+    def batches():
+        # fresh loaders agree by construction: frame sampling is keyed by
+        # (dataset seed, loader epoch, tracklet), not shared RNG state
         return ClipLoader(
             cd, batch_size=16,
             sampler=sampling.RandomPairSampler(ds.train, seed=0),
             drop_last=True, workers=2,
         )
 
-    host = list(batches(0))
-    glob = list(GlobalBatchLoader(batches(0), mesh))
+    host = list(batches())
+    glob = list(GlobalBatchLoader(batches(), mesh))
     assert len(glob) == len(host)
     clips_g, pids_g, _ = glob[0]
     clips_h, pids_h, _ = host[0]
