@@ -18,7 +18,11 @@ import numpy as np
 
 
 def _sorted_masks(distmat, query_ids, gallery_ids, query_cams, gallery_cams):
-    indices = np.argsort(distmat, axis=1)
+    # stable sort: numpy's default quicksort orders exact ties arbitrarily
+    # (the reference inherits that), while jnp.argsort is stable — one
+    # canonical tie order keeps host == device protocols bit-equal even
+    # on tie-heavy synthetic distances
+    indices = np.argsort(distmat, axis=1, kind="stable")
     g_ids_s = gallery_ids[indices]
     g_cams_s = gallery_cams[indices]
     matches = g_ids_s == query_ids[:, None]

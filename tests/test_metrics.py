@@ -103,6 +103,60 @@ def test_cmc_first_match_break():
     np.testing.assert_allclose(res, [0, 1, 1])
 
 
+def test_evaluate_device_fuzz_matches_host():
+    """Randomized sweep: the device protocol must equal the host numpy
+    protocol across gallery shapes, pid collisions, junk densities, and
+    tie-prone distances (quantized to force ties)."""
+    import jax
+
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        q = rng.randint(2, 12)
+        g = rng.randint(q, 40)
+        n_ids = rng.randint(2, 6)
+        n_cams = rng.randint(2, 4)
+        # quantized distances produce frequent ties
+        dist = (rng.randint(0, 12, (q, g)) / 4.0).astype(np.float32)
+        q_pids = rng.randint(0, n_ids, q)
+        g_pids = np.concatenate([q_pids, rng.randint(0, n_ids, g - q)])
+        rng.shuffle(g_pids)
+        q_cams = rng.randint(0, n_cams, q)
+        g_cams = rng.randint(0, n_cams, g)
+        try:
+            ref = metrics.evaluate(dist, q_pids, g_pids, q_cams, g_cams, max_rank=10)
+        except RuntimeError:
+            continue  # no valid query in this draw; device raises too
+        dev = metrics.evaluate_device(dist, q_pids, g_pids, q_cams, g_cams, max_rank=10)
+        np.testing.assert_allclose(dev[0], ref[0], atol=1e-6, err_msg=f"seed {seed}")
+        assert abs(dev[1] - ref[1]) < 1e-6, f"seed {seed}"
+
+
+def test_rrs_grid_invariants_sweep():
+    """RRS chunk-grid invariants over every (num_frames, seq_len) pair the
+    workload can produce: exactly seq_len pools, pools cover prefix
+    indices in order, short tracklets repeat the last frame, rrs_test
+    takes each pool's first frame, dense clips are seq_len wide and cover
+    every frame at least once."""
+    from grl_tpu.data import sampling
+
+    for seq_len in (2, 4, 6, 8):
+        for n in range(1, 36):
+            grid = sampling.rrs_grid(n, seq_len)
+            assert len(grid) == seq_len, (n, seq_len)
+            flat = [i for pool in grid for i in pool]
+            assert max(flat) == n - 1 and min(flat) == 0
+            assert flat == sorted(flat), (n, seq_len)  # in order with padding
+            test_idx = sampling.rrs_test_indices(n, seq_len)
+            assert list(test_idx) == [pool[0] for pool in grid]
+            rng = np.random.RandomState(0)
+            train_idx = sampling.rrs_train_indices(n, seq_len, rng)
+            for i, pool in zip(train_idx, grid):
+                assert i in pool
+            clips = sampling.dense_indices(n, seq_len)
+            assert clips.shape[1] == seq_len
+            assert set(clips.reshape(-1)) == set(range(n)), (n, seq_len)
+
+
 def test_cmc_rank_is_junk_compressed():
     """Ranks count positions in the junk-removed ordering (reference
     matches[i, valid], eva_functions.py:66-68). A same-pid/same-cam junk
