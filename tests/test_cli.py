@@ -211,6 +211,41 @@ def test_real_duke_layout_end_to_end(tmp_path):
     assert (logs / "checkpoint_best.npz").exists()
 
 
+def test_pretrained_trunk_cli_flag(tmp_path):
+    """--pretrained-trunk must actually land torchvision-format weights in
+    the train state through the CLI (the real-data parity recipe's first
+    step); only the converter function was tested before."""
+    import torch
+
+    from test_convert_torch import TorchTrunk
+
+    torch.manual_seed(0)
+    tmodel = TorchTrunk(layers=(1, 1, 1, 1), width=4)  # --tiny trunk shape
+    with torch.no_grad():
+        tmodel.conv1.weight.fill_(0.77)  # distinctive marker value
+    flat = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    wpath = tmp_path / "trunk.npz"
+    np.savez(wpath, **flat)
+
+    logs = tmp_path / "pt"
+    run_train(tmp_path, logs, ["--epochs", "1", "--pretrained-trunk", str(wpath)])
+    log = (logs / "log_train0.txt").read_text()
+    assert f"loaded ImageNet trunk from {wpath}" in log
+
+    # the marker conv1 kernel reached the trained checkpoint (one epoch of
+    # SGD at lr 1e-3 moves it only slightly; random kaiming init would not
+    # be a near-constant 0.77)
+    data = np.load(logs / "checkpoint.npz", allow_pickle=False)
+    conv1_shape = (7, 7, 3, 4)  # HWIO of the tiny trunk's stem
+    candidates = [
+        data[k] for k in data.files
+        if k.startswith("leaf_") and data[k].shape == conv1_shape
+    ]
+    assert candidates, "no conv1-shaped leaf in the checkpoint"
+    assert any(np.abs(c - 0.77).max() < 0.1 for c in candidates), \
+        "marker weights did not reach the train state through --pretrained-trunk"
+
+
 def test_extract_and_rank_cli(tmp_path):
     """The deployment surface: train -> extract gallery index + queries ->
     rank, all through the extract CLI."""
