@@ -350,7 +350,10 @@ def build_parser():
     parser.add_argument("--features", type=int, default=cfg.model.features)
     parser.add_argument("--dropout", type=float, default=cfg.model.dropout)
     parser.add_argument("--arch2", type=str, default=cfg.model.arch2)
-    parser.add_argument("--loss", type=str, default="oim", choices=["xentropy", "oim", "triplet"])
+    # choices list only what validate_args accepts: the reference advertises
+    # xentropy/triplet here too but its live recipe is OIM-only, and a value
+    # argparse accepts must not be rejected one layer later.
+    parser.add_argument("--loss", type=str, default="oim", choices=["oim"])
     parser.add_argument("--oim-scalar", type=float, default=cfg.loss.oim_scalar)
     parser.add_argument("--oim-momentum", type=float, default=cfg.loss.oim_momentum)
     parser.add_argument("--sampling-rate", type=int, default=3)

@@ -48,8 +48,11 @@ def _extract(tar_path, out_dir, sentinel):
     os.makedirs(out_dir, exist_ok=True)
     with tarfile.open(tar_path) as tar:
         tar.extractall(out_dir, filter="data")  # no path traversal
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    try:
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    except OSError:
+        pass  # extraction succeeded; the marker only skips future re-runs
 
 
 def _relayout(frame_lists, out_dir):

@@ -85,9 +85,14 @@ class ClipDataset:
         thread pool calls get() concurrently, and draws from one shared
         RandomState would land on tracklets in scheduling order — frame
         sampling would differ between identically-seeded runs."""
-        return np.random.RandomState(
-            (self.seed * 1_000_003 + epoch * 7919 + index) % (2**31 - 1)
-        )
+        # splitmix64 over the packed (seed, epoch, index) triple: a linear
+        # epoch*K + index mix collides whenever the catalog outgrows K (or
+        # modularly at high epochs), correlating frame draws across epochs.
+        x = (self.seed * (2**42) + epoch * (2**28) + index) & 0xFFFFFFFFFFFFFFFF
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return np.random.RandomState((x ^ (x >> 31)) % (2**31 - 1))
 
     def get(self, index, epoch=0):
         source, pid, camid = self.tracklets[index]

@@ -157,9 +157,16 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
     # stages are cached per (n0, n_pad, mesh): a fresh jit wrapper per call
     # would re-trace and recompile six n^2-scale programs on EVERY rerank
     # (periodic eval re-ranks at a fixed n, so this hits after the first)
+    # Bounded LRU: a session whose gallery size changes would otherwise
+    # accumulate six n^2-scale compiled programs per distinct size and pin
+    # each Mesh object alive; periodic eval at fixed n only needs one entry.
     key = (n0, n_pad, mesh)
-    if key not in _STAGED_CACHE:
+    if key in _STAGED_CACHE:
+        _STAGED_CACHE[key] = _STAGED_CACHE.pop(key)  # mark most-recent
+    else:
         _STAGED_CACHE[key] = _make_staged_stages(n0, n_pad, mesh)
+        while len(_STAGED_CACHE) > _STAGED_CACHE_MAX:
+            _STAGED_CACHE.pop(next(iter(_STAGED_CACHE)))
     st = _STAGED_CACHE[key]
 
     import os
@@ -195,7 +202,8 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
     return v, original_q
 
 
-_STAGED_CACHE = {}
+_STAGED_CACHE = {}  # insertion-ordered; most-recent last
+_STAGED_CACHE_MAX = 2
 
 
 def _make_staged_stages(n0, n_pad, mesh):

@@ -57,12 +57,42 @@ def unflatten_tree(flat):
     return tree
 
 
+def _atomic_savez(fpath, payload):
+    """np.savez to a temp file in the same directory, then os.replace.
+
+    Checkpoint writes overlap live training (AsyncCheckpointer) and the
+    SIGTERM grace window; a kill landing mid-write must leave the previous
+    checkpoint intact, not a truncated file.
+    """
+    mkdir_if_missing(osp.dirname(fpath) or ".")
+    if not fpath.endswith(".npz"):
+        fpath = fpath + ".npz"  # np.savez appends it; mirror for the rename
+    tmp = fpath + f".tmp{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, fpath)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    return fpath
+
+
+def _copy_best(fpath, best_name):
+    best = osp.join(osp.dirname(fpath), best_name)
+    tmp = best + f".tmp{os.getpid()}"
+    shutil.copy(fpath, tmp)
+    os.replace(tmp, best)
+
+
 def save_checkpoint(state, fpath, is_best=False, best_name=None):
     """Save a (nested-dict) state pytree plus scalars to ``fpath`` (.npz)."""
-    mkdir_if_missing(osp.dirname(fpath) or ".")
-    np.savez(fpath, **flatten_tree(state))
+    fpath = _atomic_savez(fpath, flatten_tree(state))
     if is_best and best_name:
-        shutil.copy(fpath, osp.join(osp.dirname(fpath), best_name))
+        _copy_best(fpath, best_name)
 
 
 def load_checkpoint(fpath):
@@ -85,10 +115,9 @@ def save_train_state(train_state, extras, fpath, is_best=False, best_name=None):
     payload["treedef"] = np.asarray(str(treedef))
     for k, v in extras.items():
         payload[f"extra_{k}"] = np.asarray(v)
-    mkdir_if_missing(osp.dirname(fpath) or ".")
-    np.savez(fpath, **payload)
+    fpath = _atomic_savez(fpath, payload)
     if is_best and best_name:
-        shutil.copy(fpath, osp.join(osp.dirname(fpath), best_name))
+        _copy_best(fpath, best_name)
 
 
 def _concat_flat(leaves):

@@ -158,6 +158,38 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
         load_train_state(bad, path)
 
 
+def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
+    """A kill landing mid-write (SIGTERM grace expiry during the async
+    save) must leave the previous checkpoint intact: writes go to a temp
+    file and os.replace onto the final path."""
+    import grl_tpu.utils.serialization as ser
+
+    path = str(tmp_path / "ck.npz")
+    state = {"params": {"w": np.ones((4,), np.float32)}, "step": np.asarray(1)}
+    save_train_state(state, {"epoch": 1}, path)
+    good = (tmp_path / "ck.npz").read_bytes()
+
+    real_savez = np.savez
+
+    def dying_savez(f, **kw):
+        real_savez(f, **kw)
+        raise KeyboardInterrupt("simulated kill mid-save")
+
+    monkeypatch.setattr(ser.np, "savez", dying_savez)
+    with pytest.raises(KeyboardInterrupt):
+        save_train_state(
+            {"params": {"w": np.zeros((4,), np.float32)}, "step": np.asarray(2)},
+            {"epoch": 2},
+            path,
+        )
+    monkeypatch.undo()
+    # the original file survives byte-for-byte and no temp litter remains
+    assert (tmp_path / "ck.npz").read_bytes() == good
+    assert [p.name for p in tmp_path.iterdir()] == ["ck.npz"]
+    restored, extras = load_train_state(state, path)
+    assert int(extras["epoch"]) == 1
+
+
 def test_async_checkpointer_survives_donation(tmp_path):
     """AsyncCheckpointer must snapshot before the train loop's donating
     step invalidates the live state buffers (engine/train_step.py

@@ -138,9 +138,11 @@ def test_unsupported_flags_rejected():
         ["--arch1", "resnet50"],  # no live path (dead in the reference too)
         ["--ckpt-freq", "0"],  # would ZeroDivisionError at the first epoch end
     ):
-        args = train_parser().parse_args(base + extra)
+        # rejection may come from argparse itself (e.g. --loss now lists
+        # only supported choices) or from validate_args — either is the
+        # required loud failure.
         with pytest.raises(SystemExit):
-            validate_args(args)
+            validate_args(train_parser().parse_args(base + extra))
     # supported values pass
     validate_args(train_parser().parse_args(base + ["--sample_method", "random"]))
 
