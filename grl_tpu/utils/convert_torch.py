@@ -93,6 +93,54 @@ def torch_to_pytree(flat, aliases=None, strip_prefix="module."):
     return params, state
 
 
+def _fetch_path(tree, path):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            raise KeyError(f"path {'.'.join(path)} not in pytree (missing {p!r})")
+        node = node[p]
+    return node
+
+
+def pytree_to_torch_state(params, state, torch_keys, aliases=None):
+    """Inverse of :func:`torch_to_pytree`: emit a flat torch-style
+    state_dict (numpy values) covering exactly ``torch_keys``.
+
+    ``torch_keys`` is the key list of the *target* torch module's
+    state_dict — typically obtained from the literal reference module —
+    so a strict ``load_state_dict`` afterwards proves the alias table and
+    layout rules against the reference's real structure (the parity
+    harness drives reference reid/models/grl_model.py:184-229 with
+    grl_tpu-initialized weights this way). ``num_batches_tracked``
+    counters, which torch_to_pytree drops, are emitted as zeros.
+    """
+    flat = {}
+    for tkey in torch_keys:
+        key = _apply_aliases(tkey, aliases)
+        parts = key.split(".")
+        leaf, path = parts[-1], parts[:-1]
+        if leaf == "num_batches_tracked":
+            flat[tkey] = np.asarray(0, dtype=np.int64)
+        elif leaf == "running_mean":
+            flat[tkey] = np.asarray(_fetch_path(state, path + ["mean"]))
+        elif leaf == "running_var":
+            flat[tkey] = np.asarray(_fetch_path(state, path + ["var"]))
+        elif leaf == "weight":
+            node = _fetch_path(params, path)
+            if "kernel" in node:
+                v = np.asarray(node["kernel"])
+                flat[tkey] = np.transpose(v, (3, 2, 0, 1)) if v.ndim == 4 else v.T
+            else:
+                flat[tkey] = np.asarray(node["scale"])
+        elif leaf == "bias":
+            flat[tkey] = np.asarray(_fetch_path(params, path + ["bias"]))
+        elif leaf == "lut":
+            flat[tkey] = np.asarray(_fetch_path(state, path + ["lut"]))
+        else:
+            raise ValueError(f"Unhandled state_dict leaf: {tkey}")
+    return flat
+
+
 def merge_pytree(base, overlay):
     """Recursively overlay converted leaves onto an init'd pytree.
 

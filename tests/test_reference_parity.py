@@ -1,0 +1,309 @@
+"""Numeric parity against the LITERAL reference code, not a transcription.
+
+Every oracle in this file is the reference's own source, loaded from
+/root/reference via tests/reference_loader.py:
+
+- models: reid/models/{resnets1,basebranch,grl_model,Siamese,
+  Siamese_video}.py driven with weights converted FROM a grl_tpu init by
+  ``pytree_to_torch_state`` (``utils/convert_torch.py`` run in reverse) —
+  so one test simultaneously proves the model math AND the converter's
+  alias table / layout rules against the reference's real module
+  structure, including strict ``load_state_dict``.
+- metrics: reid/evaluator/eva_functions.py (evaluate, cmc, mean_ap,
+  accuracy, evaluate_zhengliang) as the oracle for engine/metrics.py.
+- re-ranking: reid/evaluator/rerank.py re_ranking as the oracle for the
+  host rewrite and the on-device implementation.
+
+The hand-written torch oracle (tests/torch_oracle.py) remains as
+documentation and for tiny-shape sweeps; THESE tests are the parity
+authority. Distances here are continuous random floats: the reference
+relies on numpy's unstable argsort while grl_tpu canonicalizes ties with
+a stable sort (engine/metrics.py:20-30), so tie-heavy inputs are
+deliberately out of scope (covered by grl_tpu's own invariant tests).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from reference_loader import load_reference_evaluator, load_reference_models
+
+import jax
+
+from grl_tpu import models
+from grl_tpu.engine import metrics as M
+from grl_tpu.engine import rerank as R
+from grl_tpu.utils import convert_torch as ct
+
+
+def np_tree(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def load_into_torch(torch_module, params, state, aliases=None):
+    """Reverse-convert grl_tpu pytrees and strict-load into the literal
+    reference module; strictness proves key/shape coverage both ways."""
+    flat = ct.pytree_to_torch_state(
+        np_tree(params), np_tree(state), list(torch_module.state_dict().keys()), aliases=aliases
+    )
+    torch_module.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in flat.items()}, strict=True
+    )
+
+
+def bn_stats_match(torch_module, params, state, aliases=None, rtol=1e-3, atol=1e-4):
+    """Compare EVERY BatchNorm running_mean/running_var in the reference
+    module against the grl_tpu state pytree (post-training trajectories)."""
+    ref_sd = torch_module.state_dict()
+    keys = [k for k in ref_sd if k.endswith(("running_mean", "running_var"))]
+    assert keys, "reference module has no BN stats?"
+    flat = ct.pytree_to_torch_state(np_tree(params), np_tree(state), keys, aliases=aliases)
+    for k in keys:
+        np.testing.assert_allclose(
+            flat[k], ref_sd[k].numpy(), rtol=rtol, atol=atol, err_msg=k
+        )
+
+
+# ---------------------------------------------------------------------------
+# Models: full-size GRL CNN + Siamese heads vs the reference's own modules
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_grl_model_matches_reference_modules():
+    """Full-size ResNet50_GRL_Model (reference grl_model.py:184-229):
+    eval-mode outputs, two train-mode steps, and the complete BN
+    running-stat trajectory. 256x128 input is required — the reference
+    Backbone hardcodes the 16x8 feature-map geometry (basebranch.py:59)."""
+    ref = load_reference_models()
+    m_ref = ref.grl_model.ResNet50_GRL_Model(pretrained=False, numclasses=0)
+
+    model = models.GRLModel()
+    params, state = model.init(jax.random.PRNGKey(0))
+    load_into_torch(m_ref, params, state, aliases=ct.GRL_ALIASES)
+
+    rng = np.random.RandomState(0)
+    clips = rng.rand(2, 2, 256, 128, 3).astype(np.float32) * 2 - 1
+    t_clips = torch.from_numpy(np.transpose(clips, (0, 1, 4, 2, 3)).copy())
+
+    # eval mode
+    m_ref.eval()
+    with torch.no_grad():
+        ref_u, ref_c = m_ref(t_clips)
+    (ju, jc), _ = model.apply(params, state, clips, training=False)
+    np.testing.assert_allclose(np.asarray(ju), ref_u.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jc), ref_c.numpy(), atol=2e-5, rtol=1e-4)
+
+    # two train-mode steps: outputs + BN running stats advance identically
+    m_ref.train()
+    clips2 = rng.rand(2, 2, 256, 128, 3).astype(np.float32) * 2 - 1
+    t_clips2 = torch.from_numpy(np.transpose(clips2, (0, 1, 4, 2, 3)).copy())
+    with torch.no_grad():
+        m_ref(t_clips)
+        ref_u2, ref_c2 = m_ref(t_clips2)
+    _, state1 = model.apply(params, state, clips, training=True)
+    (ju2, jc2), state2 = model.apply(params, state1, clips2, training=True)
+    # train-mode batch statistics over b*t=4 (and b=2 for the head BNs)
+    # divide by near-zero variances, amplifying fp32 accumulation-order
+    # differences; eval mode above is the tight semantic check (2e-5)
+    np.testing.assert_allclose(np.asarray(ju2), ref_u2.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(jc2), ref_c2.numpy(), atol=1e-3)
+    bn_stats_match(m_ref, params, state2, aliases=ct.GRL_ALIASES)
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_siamese_matches_reference_module(training):
+    """reference reid/models/Siamese.py:42-142 at its live size
+    (2048 -> 512 Q/K, 2-way classifier), including the unused featV
+    parameters the state_dict carries."""
+    ref = load_reference_models()
+    m_ref = ref.Siamese.Siamese(2048, 512, 2)
+
+    model = models.Siamese(input_num=2048, output_num=512, class_num=2)
+    params, state = model.init(jax.random.PRNGKey(1))
+    load_into_torch(m_ref, params, state)
+
+    x = np.random.RandomState(2).randn(4, 8, 2048).astype(np.float32)
+    m_ref.train(training)
+    with torch.no_grad():
+        ref_scores, ref_out = m_ref(torch.from_numpy(x.copy()))
+    (scores, out), ns = model.apply(params, state, x, training=training)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores.numpy(), atol=1e-4, rtol=1e-4)
+    if training:
+        bn_stats_match(m_ref, params, ns)
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_siamese_video_matches_reference_module(training):
+    """reference reid/models/Siamese_video.py (degenerate pair head)."""
+    ref = load_reference_models()
+    m_ref = ref.Siamese_video.Siamese_video(2048, 2048, 2)
+
+    model = models.SiameseVideo(input_num=2048)
+    params, state = model.init(jax.random.PRNGKey(3))
+    load_into_torch(m_ref, params, state)
+
+    x = np.random.RandomState(4).randn(6, 2048).astype(np.float32)
+    m_ref.train(training)
+    with torch.no_grad():
+        ref_scores, ref_out = m_ref(torch.from_numpy(x.copy()))
+    (scores, out), ns = model.apply(params, state, x, training=training)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores.numpy(), atol=1e-4, rtol=1e-4)
+    if training:
+        bn_stats_match(m_ref, params, ns)
+
+
+def test_resnet_trunk_matches_reference_resnets1():
+    """reid/models/resnets1.py resnet50_s1 in isolation (last-stride-1
+    surgery, :109): trunk features before any GCE/TRL processing."""
+    ref = load_reference_models()
+    t_ref = ref.resnets1.resnet50_s1(pretrained=False)
+
+    trunk = models.resnet50_trunk(last_stride=1)
+    params, state = trunk.init(jax.random.PRNGKey(5))
+    # resnet50_s1 keeps its ImageNet fc/avgpool in the state_dict; the
+    # trunk pytree has no fc — fill those two entries from the torch init.
+    sd = t_ref.state_dict()
+    keys = [k for k in sd if not k.startswith("fc.")]
+    flat = ct.pytree_to_torch_state(np_tree(params), np_tree(state), keys)
+    flat["fc.weight"] = sd["fc.weight"].numpy()
+    flat["fc.bias"] = sd["fc.bias"].numpy()
+    t_ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in flat.items()}, strict=True
+    )
+
+    x = np.random.RandomState(6).rand(2, 64, 32, 3).astype(np.float32)
+    t_ref.eval()
+    with torch.no_grad():
+        # drive the reference's own submodule stack exactly as the live
+        # GRL path consumes it (basebranch.py:27-36 re-wraps conv1..layer4
+        # and never touches avgpool/fc, whose 7x7 kernel also cannot run
+        # on small test maps)
+        h = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+        h = t_ref.maxpool(t_ref.relu(t_ref.bn1(t_ref.conv1(h))))
+        ref_out = t_ref.layer4(t_ref.layer3(t_ref.layer2(t_ref.layer1(h))))
+    y, _ = trunk.apply(params, state, x, training=False)
+    got = np.transpose(np.asarray(y), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out.numpy(), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Metrics: engine/metrics.py vs the reference's own eva_functions.py
+# ---------------------------------------------------------------------------
+
+
+def random_protocol(seed, num_q=20, num_g=60, num_pids=6, num_cams=4, junk_pids=False):
+    rng = np.random.RandomState(seed)
+    distmat = rng.rand(num_q, num_g)
+    q_pids = rng.randint(0, num_pids, num_q)
+    g_pids = rng.randint(0, num_pids, num_g)
+    if junk_pids:
+        g_pids[rng.rand(num_g) < 0.15] = -1
+    q_cams = rng.randint(0, num_cams, num_q)
+    g_cams = rng.randint(0, num_cams, num_g)
+    return distmat, q_pids, g_pids, q_cams, g_cams
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_evaluate_matches_reference(seed):
+    eva, _ = load_reference_evaluator()
+    dm, qp, gp, qc, gc = random_protocol(seed)
+    ref_cmc, ref_map = eva.evaluate(dm, qp, gp, qc, gc, max_rank=30)
+    got_cmc, got_map = M.evaluate(dm, qp, gp, qc, gc, max_rank=30)
+    np.testing.assert_allclose(got_cmc, ref_cmc, atol=1e-6)
+    assert got_map == pytest.approx(float(ref_map), abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "config",
+    [
+        # legacy evaluator.py:21-33 configurations
+        dict(separate_camera_set=False, single_gallery_shot=False, first_match_break=False),
+        dict(separate_camera_set=False, single_gallery_shot=False, first_match_break=True),
+        dict(separate_camera_set=True, single_gallery_shot=True, first_match_break=False),
+    ],
+    ids=["allshots", "market1501", "cuhk03"],
+)
+def test_cmc_matches_reference(config):
+    eva, _ = load_reference_evaluator()
+    dm, qp, gp, qc, gc = random_protocol(7)
+    if config["single_gallery_shot"] and not hasattr(np, "bool"):
+        pytest.skip("reference _unique_sample needs np.bool (removed in numpy 1.24-2.0)")
+    # the reference samples via the GLOBAL numpy RNG; our cmc takes a seed
+    # that must reproduce the same stream (RandomState(s) == seed(s))
+    np.random.seed(11)
+    ref = eva.cmc(dm, qp, gp, qc, gc, topk=25, **config)
+    got = M.cmc(dm, qp, gp, qc, gc, topk=25, seed=11, **config)
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_mean_ap_matches_reference_sklearn():
+    eva, _ = load_reference_evaluator()
+    dm, qp, gp, qc, gc = random_protocol(9)
+    ref = eva.mean_ap(dm, qp, gp, qc, gc)
+    got = M.mean_ap(dm, qp, gp, qc, gc)
+    assert got == pytest.approx(float(ref), abs=1e-9)
+
+
+def test_accuracy_matches_reference():
+    """The reference accuracy (eva_functions.py:118-131) bit-rots under
+    torch >= 1.1 for k > 1: ``correct[:k].view(-1)`` on the transposed
+    prediction matrix is a non-contiguous view. The k=1 slice happens to
+    stay contiguous, so the top-1 path (the only one the live trainer
+    uses, reid/train/trainer.py via PairLoss) pins against the literal
+    code; k>1 coverage lives in test_metrics.py against the documented
+    intent."""
+    eva, _ = load_reference_evaluator()
+    rng = np.random.RandomState(10)
+    logits = rng.randn(32, 7).astype(np.float32)
+    target = rng.randint(0, 7, 32)
+    ref = [float(x) for x in eva.accuracy(logits, target, topk=(1,))]
+    got = M.accuracy(logits, target, topk=(1,))
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+    with pytest.raises(RuntimeError):  # documents the k>1 bit-rot
+        eva.accuracy(logits, target, topk=(1, 3))
+
+
+@pytest.mark.parametrize("seed", [12, 13])
+def test_evaluate_market_matches_reference_zhengliang(seed):
+    eva, _ = load_reference_evaluator()
+    dm, qp, gp, qc, gc = random_protocol(seed, junk_pids=True)
+    ref_cmc, ref_map = eva.evaluate_zhengliang(dm, qp, gp, qc, gc, max_rank=30)
+    got_cmc, got_map = M.evaluate_market(dm, qp, gp, qc, gc, max_rank=30)
+    np.testing.assert_allclose(got_cmc, ref_cmc, atol=1e-6)
+    assert got_map == pytest.approx(float(ref_map), abs=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Re-ranking: host rewrite AND device path vs the reference's rerank.py
+# ---------------------------------------------------------------------------
+
+
+def random_rerank_problem(seed, num_q=12, num_g=30, dim=16):
+    """Consistent cosine-style distance blocks from random unit features."""
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(num_q + num_g, dim).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = -feats @ feats.T
+    return d[:num_q, num_q:], d[:num_q, :num_q], d[num_q:, num_q:]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_re_ranking_matches_reference(seed):
+    _, rr = load_reference_evaluator()
+    qg, qq, gg = random_rerank_problem(seed)
+    ref = rr.re_ranking(qg, qq, gg, k1=8, k2=3, lambda_value=0.3)
+    got = R.re_ranking(qg, qq, gg, k1=8, k2=3, lambda_value=0.3)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_re_ranking_device_matches_reference():
+    _, rr = load_reference_evaluator()
+    qg, qq, gg = random_rerank_problem(2)
+    ref = rr.re_ranking(qg, qq, gg, k1=8, k2=3, lambda_value=0.3)
+    got = np.asarray(
+        R.re_ranking_device(qg, qq, gg, k1=8, k2=3, lambda_value=0.3, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
