@@ -1,0 +1,231 @@
+"""Worker process for the REAL 2-process jax.distributed tests.
+
+Launched by tests/test_multiprocess.py as ``python multiprocess_worker.py
+--process-id I ...``. Each worker initializes jax.distributed against a
+localhost coordinator (CPU backend, gloo collectives, 2 virtual devices
+per process -> a 4-device global mesh), then exercises the actual
+multi-host stack: ``get_data(process_shard=True)`` (identity-sharded
+catalog + equal step caps), ``GlobalBatchLoader``
+(make_array_from_process_local_data assembly), the jitted train step over
+the global mesh, and the Trainer's collective stop.
+
+Modes:
+- ``train``: one epoch; records the local batches this process produced
+  and (process 0) the final parameters, so the parent can replay the
+  assembled global batches single-process and assert parity.
+- ``preempt``: epochs until stopped; the parent SIGTERMs ONE process and
+  both must stop via Trainer._collective_stop.
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import signal
+import sys
+import threading
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+DATASET_KW = dict(
+    num_train_ids=8, num_test_ids=2, tracklets_per_id=3, height=16, width=8, seed=0
+)
+SEQ_LEN = 2
+LOCAL_BATCH = 4
+
+
+class RecordingLoader:
+    """Pass-through ClipLoader wrapper capturing the numpy batches.
+
+    ``limit`` caps the steps per epoch (equally on every process): the
+    parity mode replays the run single-process, and beyond a couple of
+    steps fp32 reduction-order differences (cross-process psum vs one
+    device) amplify chaotically through the tiny model's batch statistics
+    — the same reason test_sharding.py compares after ONE step.
+    """
+
+    def __init__(self, loader, limit=None):
+        self.loader = loader
+        self.dataset = loader.dataset
+        self.limit = limit
+        self.batches = []
+
+    def __len__(self):
+        n = len(self.loader)
+        return n if self.limit is None else min(n, self.limit)
+
+    def __iter__(self):
+        for i, (clips, pids, camids) in enumerate(self.loader):
+            if self.limit is not None and i >= self.limit:
+                break
+            self.batches.append(
+                (np.array(clips), np.array(pids), np.array(camids))
+            )
+            yield clips, pids, camids
+
+
+def build(args, limit=None):
+    import jax
+
+    from grl_tpu import models
+    from grl_tpu.data import get_data
+    from grl_tpu.engine.optim import SGD
+    from grl_tpu.engine.train_step import init_train_state, make_train_step
+    from grl_tpu.parallel import GlobalBatchLoader, data_mesh, replicate
+
+    ds, num_classes, train_loader, _q, _g = get_data(
+        "synthetic",
+        batch_size=LOCAL_BATCH,
+        seq_len=SEQ_LEN,
+        workers=1,
+        seed=0,
+        dataset_kwargs=DATASET_KW,
+        process_shard=True,
+    )
+    rec = RecordingLoader(train_loader, limit=limit)
+    mesh = data_mesh(4)
+    glob = GlobalBatchLoader(rec, mesh)
+
+    trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
+    cnn = models.GRLModel(trunk=trunk)
+    sia = models.Siamese(input_num=cnn.num_feat, output_num=16)
+    unc = models.SiameseVideo(input_num=cnn.num_feat)
+    opt = SGD()
+    ts = init_train_state(
+        jax.random.PRNGKey(0), cnn, sia, unc, num_classes, cnn.num_feat, opt
+    )
+    ts = replicate(ts, mesh)
+    step = make_train_step(cnn, sia, unc, opt, donate=False)
+    return ds, rec, glob, mesh, ts, step
+
+
+def mode_train(args):
+    import jax
+    from jax.experimental import multihost_utils
+
+    from grl_tpu.engine.trainer import Trainer
+
+    ds, rec, glob, mesh, ts, step = build(args, limit=2)
+
+    # (iii) equal step caps: every process computes the same UNCAPPED
+    # epoch length locally (min_shard_size), checked collectively
+    lens = multihost_utils.process_allgather(np.int32(len(rec.loader)))
+    assert (lens == lens[0]).all(), f"unequal per-process step counts: {lens}"
+
+    class StepLossShim:
+        """Minimal ScalarWriter surface capturing per-step losses."""
+
+        def __init__(self):
+            self.steps = []
+
+        def add_scalar(self, tag, value, step):
+            if tag == "train/total_loss_step":
+                self.steps.append(float(value))
+
+        def flush(self):
+            pass
+
+    shim = StepLossShim()
+    trainer = Trainer(step, scalar_writer=shim, seed=0, mesh=mesh, print_freq=1000)
+    ts, stats = trainer.train(0, ts, glob, lr=1e-3)
+
+    out = {}
+    for i, (clips, pids, camids) in enumerate(rec.batches):
+        out[f"clips_{i}"] = clips
+        out[f"pids_{i}"] = pids
+    out["num_batches"] = np.int32(len(rec.batches))
+    out["epoch_len"] = np.int32(len(rec.loader))
+    out["loss"] = np.float64(stats["loss"])
+    out["step_losses"] = np.asarray(shim.steps, np.float64)
+    np.savez(osp.join(args.out, f"batches_{args.process_id}.npz"), **out)
+
+    if args.process_id == 0:
+        leaves = jax.tree.leaves(ts["params"])
+        np.savez(
+            osp.join(args.out, "final_params.npz"),
+            **{f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
+        np.savez(
+            osp.join(args.out, "final_luts.npz"),
+            corr=np.asarray(ts["luts"]["corr"]),
+        )
+    print(f"[worker {args.process_id}] train mode done: {len(rec.batches)} steps",
+          flush=True)
+
+
+def mode_preempt(args):
+    from grl_tpu.engine.trainer import Trainer
+
+    stop = threading.Event()
+    saw_signal = {"v": False}
+
+    def handler(signum, _frame):
+        saw_signal["v"] = True
+        stop.set()
+
+    signal.signal(signal.SIGTERM, handler)
+
+    ds, rec, glob, mesh, ts, step = build(args)
+    trainer = Trainer(step, seed=0, mesh=mesh, print_freq=1000, stop_event=stop)
+
+    max_epochs = 200
+    epochs_done = 0
+    for epoch in range(max_epochs):
+        ts, _ = trainer.train(epoch, ts, glob, lr=1e-3)
+        epochs_done += 1
+        # tell the parent we're through the compile + at least one epoch
+        # (it waits for this before delivering SIGTERM)
+        ready = osp.join(args.out, f"ready_{args.process_id}")
+        if not osp.exists(ready):
+            with open(ready, "w") as f:
+                f.write("1")
+        # the caller-side gate, exactly as the CLI runs it
+        # (cli/train.py: checkpoint-and-exit when stop is set)
+        if stop.is_set():
+            break
+    result = {
+        "stopped": stop.is_set(),
+        "saw_signal": saw_signal["v"],
+        "epochs_done": epochs_done,
+    }
+    with open(osp.join(args.out, f"preempt_{args.process_id}.json"), "w") as f:
+        json.dump(result, f)
+    print(f"[worker {args.process_id}] preempt mode done: {result}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--port", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", choices=["train", "preempt"], required=True)
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from grl_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # share compiles across the 2x2 worker runs
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{args.port}",
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert jax.process_count() == args.num_processes
+    assert jax.device_count() == 2 * args.num_processes
+
+    if args.mode == "train":
+        mode_train(args)
+    else:
+        mode_preempt(args)
+
+
+if __name__ == "__main__":
+    main()

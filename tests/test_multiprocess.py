@@ -1,0 +1,184 @@
+"""REAL multi-process execution of the multi-host layer (SURVEY §2.9).
+
+Every other multi-host test simulates process_count > 1 by passing
+explicit indices into a single process. These tests spawn TWO actual
+python processes that run ``jax.distributed.initialize`` against a
+localhost coordinator (CPU backend, gloo collectives, 2 virtual devices
+each -> one 4-device global mesh) and exercise the live code paths:
+
+- ``get_data(process_shard=True)``: identity-sharded catalogs with equal
+  per-process step caps, checked by a cross-process allgather;
+- ``GlobalBatchLoader``: cross-process global-array assembly feeding the
+  jitted train step (gradient psum spans the two processes);
+- parity: the final parameters match a single-process replay of the
+  exact assembled global batches;
+- ``Trainer._collective_stop``: a SIGTERM delivered to ONE process stops
+  BOTH at a collective boundary.
+"""
+
+import json
+import os
+import os.path as osp
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+WORKER = osp.join(osp.dirname(__file__), "multiprocess_worker.py")
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def spawn_workers(tmp_path, mode, port):
+    procs = []
+    for pid in range(2):
+        log = open(tmp_path / f"worker_{mode}_{pid}.log", "w")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        WORKER,
+                        "--process-id",
+                        str(pid),
+                        "--num-processes",
+                        "2",
+                        "--port",
+                        str(port),
+                        "--out",
+                        str(tmp_path),
+                        "--mode",
+                        mode,
+                    ],
+                    stdout=log,
+                    stderr=subprocess.STDOUT,
+                    cwd=osp.dirname(WORKER),
+                ),
+                log,
+            )
+        )
+    return procs
+
+
+def wait_all(procs, tmp_path, mode, timeout):
+    deadline = time.time() + timeout
+    for p, log in procs:
+        try:
+            rc = p.wait(timeout=max(1, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q, _ in procs:
+                q.kill()
+            rc = None
+        log.close()
+        if rc != 0:
+            logs = "\n".join(
+                f"--- worker {i} ---\n" + (tmp_path / f"worker_{mode}_{i}.log").read_text()
+                for i in range(2)
+            )
+            pytest.fail(f"worker exited rc={rc}\n{logs}")
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process_replay(tmp_path):
+    procs = spawn_workers(tmp_path, "train", free_port())
+    wait_all(procs, tmp_path, "train", timeout=420)
+
+    b0 = np.load(tmp_path / "batches_0.npz")
+    b1 = np.load(tmp_path / "batches_1.npz")
+    n0, n1 = int(b0["num_batches"]), int(b1["num_batches"])
+    assert n0 == n1 > 0
+    assert int(b0["epoch_len"]) == int(b1["epoch_len"]) > 0, (
+        "equal per-process step counts (min_shard_size cap)"
+    )
+
+    # the two catalog shards are disjoint: no tracklet pid set overlap
+    pids0 = {int(p) for i in range(n0) for p in b0[f"pids_{i}"]}
+    pids1 = {int(p) for i in range(n1) for p in b1[f"pids_{i}"]}
+    assert pids0 and pids1 and not (pids0 & pids1)
+
+    # single-process replay of the assembled global batches, exactly as
+    # the Trainer runs them (same augment PRNG stream, same train step)
+    import jax
+    import jax.numpy as jnp
+
+    from multiprocess_worker import DATASET_KW, LOCAL_BATCH, SEQ_LEN  # noqa: F401
+    from grl_tpu import models
+    from grl_tpu.data.transforms import augment
+    from grl_tpu.engine.optim import SGD
+    from grl_tpu.engine.train_step import init_train_state, make_train_step
+
+    trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
+    cnn = models.GRLModel(trunk=trunk)
+    sia = models.Siamese(input_num=cnn.num_feat, output_num=16)
+    unc = models.SiameseVideo(input_num=cnn.num_feat)
+    opt = SGD()
+    ts = init_train_state(
+        jax.random.PRNGKey(0), cnn, sia, unc, DATASET_KW["num_train_ids"], cnn.num_feat, opt
+    )
+    step = make_train_step(cnn, sia, unc, opt, donate=False)
+
+    rng = jax.random.PRNGKey(0)  # Trainer(seed=0)
+    losses = []
+    for i in range(n0):
+        # global assembly order: process 0's block fills devices 0-1,
+        # process 1's fills devices 2-3
+        clips = np.concatenate([b0[f"clips_{i}"], b1[f"clips_{i}"]], axis=0)
+        pids = np.concatenate([b0[f"pids_{i}"], b1[f"pids_{i}"]], axis=0)
+        rng, aug_rng = jax.random.split(rng)
+        x = augment(aug_rng, jnp.asarray(clips), train=True)
+        ts, m = step(ts, x, jnp.asarray(pids), 1e-3)
+        losses.append(float(m["loss"]))
+
+    # per-step losses agree between the 2-process run and the replay
+    np.testing.assert_allclose(losses, b0["step_losses"], rtol=1e-4)
+    assert float(b0["loss"]) == pytest.approx(float(b1["loss"]), rel=1e-6)
+
+    # final parameters agree leaf-for-leaf
+    got = np.load(tmp_path / "final_params.npz")
+    leaves = jax.tree.leaves(ts["params"])
+    keys = sorted(got.files)
+    assert len(keys) == len(leaves)
+    for k, leaf in zip(keys, leaves):
+        np.testing.assert_allclose(
+            got[k], np.asarray(leaf), rtol=2e-3, atol=1e-5, err_msg=k
+        )
+    # OIM lut advanced identically too
+    luts = np.load(tmp_path / "final_luts.npz")
+    np.testing.assert_allclose(
+        luts["corr"], np.asarray(ts["luts"]["corr"]), rtol=2e-3, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_sigterm_to_one_process_stops_both(tmp_path):
+    procs = spawn_workers(tmp_path, "preempt", free_port())
+    # wait until BOTH workers are compiled and through >= 1 epoch
+    deadline = time.time() + 420
+    while time.time() < deadline and not all(
+        osp.exists(tmp_path / f"ready_{i}") for i in range(2)
+    ):
+        if any(p.poll() is not None for p, _ in procs):
+            break  # a worker died early; wait_all below reports it
+        time.sleep(0.5)
+    assert all(osp.exists(tmp_path / f"ready_{i}") for i in range(2)), "workers never became ready"
+
+    # SIGTERM ONLY process 1 — process 0 must stop via the collective
+    procs[1][0].send_signal(signal.SIGTERM)
+    wait_all(procs, tmp_path, "preempt", timeout=240)
+
+    r0 = json.loads((tmp_path / "preempt_0.json").read_text())
+    r1 = json.loads((tmp_path / "preempt_1.json").read_text())
+    assert r1["saw_signal"] is True
+    assert r0["saw_signal"] is False, "only process 1 was signalled"
+    assert r0["stopped"] and r1["stopped"], "collective stop must reach both"
+    assert r0["epochs_done"] < 200 and r1["epochs_done"] < 200
+    # both resolved at the same collective boundary
+    assert abs(r0["epochs_done"] - r1["epochs_done"]) <= 1
