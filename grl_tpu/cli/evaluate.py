@@ -52,6 +52,7 @@ def main(args):
         only_eval=True,
         split_id=args.split,
         dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
+        use_flow=bool(getattr(args, "use_flow", False)),
     )
 
     cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
@@ -110,6 +111,9 @@ def build_parser():
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--use-flow", action="store_true",
+                        help="sequence datasets only: evaluate a flow-trained "
+                             "checkpoint on 6-channel (RGB|flow) clips")
     parser.add_argument("--devices", type=int, default=0,
                         help="cap the data-parallel device count (0 = all local devices)")
     return parser

@@ -32,10 +32,17 @@ from ..utils.serialization import AsyncCheckpointer, load_train_state
 
 def build_models(args, tiny=False):
     cd = jnp.bfloat16 if args.bf16 else None
+    # --use-flow: RGB + optical-flow packed on channels (6), consumed by a
+    # 6-input-channel trunk. The reference's flow data path
+    # (seqpreprocessor.py:29-44) only ever fed its DEAD legacy models; here
+    # the flagship GRL recipe trains on the packed modalities directly —
+    # intended-design divergence documented in docs/PARITY.md.
+    in_ch = 6 if getattr(args, "use_flow", False) else 3
     if tiny:
-        trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4, compute_dtype=cd)
+        trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4, compute_dtype=cd,
+                                   in_channels=in_ch)
     else:
-        trunk = models.resnet50_trunk(last_stride=1, compute_dtype=cd)
+        trunk = models.resnet50_trunk(last_stride=1, compute_dtype=cd, in_channels=in_ch)
     # validate_args guarantees arch1 == resnet50_grl here; the per-frame
     # baselines (ResNetBaseline, TwoStreamBaseline) are library models with
     # no live CLI path — same as the reference (see validate_args)
@@ -97,6 +104,14 @@ def validate_args(args):
         raise SystemExit(
             "--ckpt-freq must be >= 1 (eval/best/final epochs always "
             "checkpoint regardless)"
+        )
+    if getattr(args, "use_flow", False) and args.dataset not in (
+        "ilidsvidsequence", "prid2011sequence"
+    ):
+        raise SystemExit(
+            f"--use-flow: {args.dataset!r} has no optical-flow companions — "
+            "only the sequence datasets ship flow archives "
+            "(reference ilidsvidsequence.py:70-177 'others' dir)"
         )
     method = getattr(args, "sample_method", "rrs")
     if method not in ("rrs", "random"):
@@ -166,6 +181,7 @@ def main(args):
         dataset_kwargs=_synthetic_kwargs(args),
         train_sample="random" if args.sample_method == "random" else "rrs_train",
         process_shard=nproc > 1,
+        use_flow=bool(args.use_flow),
     )
 
     # default data parallelism over all local devices (the reference's
@@ -358,6 +374,10 @@ def build_parser():
     parser.add_argument("--oim-momentum", type=float, default=cfg.loss.oim_momentum)
     parser.add_argument("--sampling-rate", type=int, default=3)
     parser.add_argument("--sample_method", type=str, default="rrs")
+    parser.add_argument("--use-flow", action="store_true",
+                        help="sequence datasets only: pack each frame's optical-flow "
+                             "companion (others/ dir) onto the channels and train the "
+                             "GRL recipe on 6-channel clips")
     parser.add_argument("--seed", type=int, default=cfg.seed)
     parser.add_argument("--lr", type=float, default=cfg.optim.lr)
     parser.add_argument("--lr_step", type=float, default=cfg.optim.lr_step)

@@ -79,11 +79,16 @@ class ResNetTrunk(Module):
     """conv1..layer4 feature trunk (no avgpool/fc — the re-ID path never
     uses them; reference strips them at reid/models/basebranch.py:27-36)."""
 
-    def __init__(self, layers=(3, 4, 6, 3), last_stride=1, width=64, compute_dtype=None):
+    def __init__(self, layers=(3, 4, 6, 3), last_stride=1, width=64, compute_dtype=None,
+                 in_channels=3):
         self.compute_dtype = compute_dtype
         cd = compute_dtype
+        # in_channels=6 is the two-modality packing (RGB | optical flow on
+        # channels, reference seqpreprocessor.py:29-44) consumed by the
+        # --use-flow CLI path
+        self.in_channels = in_channels
         self.children = {
-            "conv1": _conv(3, width, 7, stride=2, padding=3, compute_dtype=cd),
+            "conv1": _conv(in_channels, width, 7, stride=2, padding=3, compute_dtype=cd),
             "bn1": nn.BatchNorm(width),
         }
         inplanes = width
@@ -117,5 +122,6 @@ class ResNetTrunk(Module):
         return x, ns
 
 
-def resnet50_trunk(last_stride=1, compute_dtype=None):
-    return ResNetTrunk((3, 4, 6, 3), last_stride=last_stride, compute_dtype=compute_dtype)
+def resnet50_trunk(last_stride=1, compute_dtype=None, in_channels=3):
+    return ResNetTrunk((3, 4, 6, 3), last_stride=last_stride, compute_dtype=compute_dtype,
+                       in_channels=in_channels)

@@ -162,9 +162,26 @@ def merge_pytree(base, overlay):
 
 
 def load_imagenet_resnet50(trunk_params, trunk_state, flat):
-    """Overlay torchvision ImageNet resnet50 weights onto a trunk pytree."""
+    """Overlay torchvision ImageNet resnet50 weights onto a trunk pytree.
+
+    Handles wider trunk inputs (the --use-flow 6-channel RGB|flow packing):
+    when the target conv1 kernel has k x 3 input channels, the 3-channel
+    ImageNet kernel is tiled k times and scaled by 1/k — the standard
+    channel-inflation init (each modality starts as a scaled copy of the
+    RGB filters, keeping conv1's output magnitude at its ImageNet scale).
+    """
     drop = {k: v for k, v in flat.items() if not k.startswith(("fc.",))}
     p, s = torch_to_pytree(drop)
+    src = p["conv1"]["kernel"]  # HWIO
+    tgt_in = np.shape(trunk_params["conv1"]["kernel"])[2]
+    if tgt_in != src.shape[2]:
+        if tgt_in % src.shape[2]:
+            raise ValueError(
+                f"trunk conv1 expects {tgt_in} input channels; cannot inflate "
+                f"the {src.shape[2]}-channel ImageNet kernel to a non-multiple"
+            )
+        k = tgt_in // src.shape[2]
+        p["conv1"]["kernel"] = np.tile(src, (1, 1, k, 1)) / k
     return merge_pytree(trunk_params, p), merge_pytree(trunk_state, s)
 
 

@@ -106,6 +106,37 @@ def test_imagenet_conversion_forward_parity():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_imagenet_conv1_inflates_to_flow_channels():
+    """--use-flow trunks take 6-channel (RGB|flow) input: the 3-channel
+    ImageNet conv1 kernel is tiled over the flow group and scaled by 1/2,
+    so conv1's response to a duplicated input matches the RGB original."""
+    import jax
+
+    w = np.random.RandomState(0).randn(8, 3, 7, 7).astype(np.float32)  # OIHW
+    flat = {
+        "conv1.weight": w,
+        "bn1.weight": np.ones(8, np.float32),
+        "bn1.bias": np.zeros(8, np.float32),
+        "bn1.running_mean": np.zeros(8, np.float32),
+        "bn1.running_var": np.ones(8, np.float32),
+    }
+    trunk = ResNetTrunk(layers=(1, 1, 1, 1), width=8, in_channels=6)
+    params, state = trunk.init(jax.random.PRNGKey(0))
+    to_np = lambda t: jax.tree.map(np.asarray, t)
+    p, s = load_imagenet_resnet50(to_np(params), to_np(state), flat)
+    got = p["conv1"]["kernel"]  # HWIO
+    assert got.shape == (7, 7, 6, 8)
+    src = np.transpose(w, (2, 3, 1, 0))
+    np.testing.assert_allclose(got[:, :, :3], src / 2)
+    np.testing.assert_allclose(got[:, :, 3:], src / 2)
+
+    # non-multiple widths fail loudly
+    trunk5 = ResNetTrunk(layers=(1, 1, 1, 1), width=8, in_channels=5)
+    p5, s5 = trunk5.init(jax.random.PRNGKey(0))
+    with np.testing.assert_raises(ValueError):
+        load_imagenet_resnet50(to_np(p5), to_np(s5), flat)
+
+
 def test_conversion_rejects_unknown_and_mismatched_keys():
     import jax
     import pytest

@@ -10,9 +10,11 @@ from grl_tpu.data import get_data
 from grl_tpu.data.catalogs import iLIDSVIDSequence
 
 
-def make_layout(tmp_path, num_ids=6, frames_per_cam=12):
+def make_layout(tmp_path, num_ids=6, frames_per_cam=12, flow=False):
     root = tmp_path / "ilids"
     (root / "images").mkdir(parents=True)
+    if flow:
+        (root / "others").mkdir(parents=True)
     from PIL import Image
 
     identities = []
@@ -24,6 +26,10 @@ def make_layout(tmp_path, num_ids=6, frames_per_cam=12):
                 name = f"{pid:08d}_{cam:02d}_{i:04d}.jpg"
                 img = (np.random.RandomState(pid * 100 + i).rand(64, 32, 3) * 255).astype(np.uint8)
                 Image.fromarray(img).save(root / "images" / name)
+                if flow:
+                    # flow companions under others/ with identical names
+                    # (reference ilidsvidsequence.py:70-177 re-layout)
+                    Image.fromarray(255 - img).save(root / "others" / name)
                 names.append(name)
             cams.append(names)
         identities.append(cams)
@@ -138,6 +144,53 @@ def test_ilids_cli_end_to_end(tmp_path):
     assert (logs / "checkpoint.npz").exists()
     if top1 > 0:
         assert (logs / "checkpoint_best.npz").exists()
+
+
+def test_use_flow_cli_end_to_end(tmp_path):
+    """--use-flow through BOTH CLIs: 6-channel (RGB|flow) clips feed the
+    6-input-channel GRL trunk for train + periodic eval, then the
+    standalone evaluator loads the flow checkpoint. The last §2 inventory
+    capability (reference seqpreprocessor.py:29-44) made user-reachable."""
+    import sys
+
+    from grl_tpu.cli import evaluate as eval_cli
+    from grl_tpu.cli.train import build_parser, main
+
+    root = make_layout(tmp_path, num_ids=4, frames_per_cam=8, flow=True)
+    logs = tmp_path / "flowrun"
+    args = build_parser().parse_args([
+        "-d", "ilidsvidsequence", "--data-dir", root, "--tiny", "--use-flow",
+        "-b", "4", "--seq_len", "2", "--seq_srd", "2", "-j", "2",
+        "--logs-dir", str(logs), "--epochs", "1",
+    ])
+    stdout = sys.stdout
+    try:
+        top1 = main(args)
+        assert 0.0 <= top1 <= 1.0
+        assert (logs / "checkpoint.npz").exists()
+
+        eargs = eval_cli.build_parser().parse_args([
+            "-d", "ilidsvidsequence", "--data-dir", root, "--tiny", "--use-flow",
+            "--seq_len", "2", "--seq_srd", "2", "-j", "2",
+            "--logs-dir", str(logs), "--checkpoint", str(logs / "checkpoint.npz"),
+        ])
+        etop1 = eval_cli.main(eargs)
+        assert 0.0 <= etop1 <= 1.0
+    finally:
+        sys.stdout = stdout
+
+
+def test_use_flow_rejected_off_sequence_datasets():
+    """--use-flow must fail loudly on datasets without flow archives."""
+    import pytest
+
+    from grl_tpu.cli.train import build_parser, validate_args
+
+    args = build_parser().parse_args(
+        ["-d", "synthetic", "--tiny", "--use-flow", "--epochs", "1"]
+    )
+    with pytest.raises(SystemExit, match="flow"):
+        validate_args(args)
 
 
 def test_prepare_ilidsvid_builds_canonical_layout(tmp_path):
