@@ -34,20 +34,45 @@ def oim_logits(inputs, lut, scalar=30.0):
 
 
 def update_lut(lut, inputs, targets, momentum=0.5):
-    """Sequential per-row momentum update + renorm (reference oim.py:24-27).
+    """Sequential-semantics momentum update + renorm (reference oim.py:24-27).
 
-    Batch order matters when a target id repeats — this loop preserves it.
+    Batch order matters when a target id repeats — updates to one id chain
+    nonlinearly (renorm between steps) and must apply in batch order. But
+    chains for DIFFERENT ids touch different lut rows and are independent,
+    so instead of one fori_loop step per batch row (10x batch sequential
+    tiny ops per train step — measured as the batch-scaling drag on the
+    jitted step, docs/PERFORMANCE.md "Batch scaling"), rows are grouped by
+    their position within their id group and applied as vectorized ROUNDS:
+    round k scatters every id's (k+1)-th occurrence at once. Sequential
+    depth becomes max-duplicates-per-id (2t for the frame update under the
+    pair sampler) instead of the batch row count, with identical per-row
+    math in identical per-id order.
+
     ``inputs`` should be the (detached) features that produced the logits.
     """
     inputs = jax.lax.stop_gradient(inputs).astype(lut.dtype)
+    n, c = inputs.shape
 
-    def body(i, lut):
-        y = targets[i]
-        row = momentum * lut[y] + (1.0 - momentum) * inputs[i]
-        row = row / jnp.linalg.norm(row)
-        return lut.at[y].set(row)
+    # pos[i] = how many earlier batch rows share targets[i]'s id
+    same = targets[:, None] == targets[None, :]
+    pos = jnp.sum(jnp.tril(same, k=-1), axis=1)
+    rounds = jnp.max(pos) + 1
 
-    return jax.lax.fori_loop(0, inputs.shape[0], body, lut)
+    # one scratch row absorbs the scatters of rows inactive in a round
+    scratch = lut.shape[0]
+    padded = jnp.concatenate([lut, jnp.zeros((1, c), lut.dtype)], axis=0)
+
+    def body(state):
+        k, padded = state
+        active = pos == k  # at most one row per id
+        rows = padded[targets]
+        new = momentum * rows + (1.0 - momentum) * inputs
+        new = new / jnp.linalg.norm(new, axis=1, keepdims=True)
+        idx = jnp.where(active, targets, scratch)
+        return k + 1, padded.at[idx].set(jnp.where(active[:, None], new, 0.0))
+
+    _, padded = jax.lax.while_loop(lambda s: s[0] < rounds, body, (0, padded))
+    return padded[:-1]
 
 
 def cross_entropy(logits, targets):

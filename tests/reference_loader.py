@@ -66,6 +66,78 @@ def load_reference_models():
 
 
 @functools.lru_cache(maxsize=1)
+def load_reference_training():
+    """Load the reference's literal loss + trainer stack (reid.loss,
+    reid.train.trainer) via the normal import machinery.
+
+    One bit-rot adaptation: ``reid/loss/oim.py`` uses the pre-torch-1.3
+    legacy ``autograd.Function`` protocol (instance ``__init__`` +
+    non-static forward), which torch >= 1.3 refuses to CALL. The module's
+    ``oim`` binding is re-pointed at a new-style Function whose
+    forward/backward invoke the LITERAL ``OIM.forward`` / ``OIM.backward``
+    method bodies through a duck-typed ctx shim — the math executed
+    (including the sequential in-backward lut momentum+renorm side effect)
+    is byte-for-byte the reference's; only the autograd plumbing is
+    modernized. SEQTrainer and OIMLoss are untouched.
+    """
+    import torch
+
+    tv = sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    if not hasattr(tv, "utils"):
+        tv.utils = types.ModuleType("torchvision.utils")
+        tv.utils.save_image = None  # cam_functions imports it; never called here
+        sys.modules["torchvision.utils"] = tv.utils
+
+    sys.path.insert(0, REF)
+    try:
+        import reid.loss  # noqa: F401
+        import reid.train.trainer as trainer_mod
+    finally:
+        sys.path.remove(REF)
+    # `from .oim import oim` shadows the submodule attribute on the
+    # package, so reach the module itself through sys.modules
+    oim_mod = sys.modules["reid.loss.oim"]
+
+    legacy = oim_mod.OIM
+
+    class _Shim:
+        """Duck-typed ctx for the literal legacy-method bodies."""
+
+        def __init__(self, lut, momentum):
+            self.lut = lut
+            self.momentum = momentum
+            self.needs_input_grad = (True, False)
+
+        def save_for_backward(self, *tensors):
+            self._saved = tensors
+
+        @property
+        def saved_tensors(self):
+            return self._saved
+
+    class _ModernOIM(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, inputs, targets, shim):
+            ctx.shim = shim
+            return legacy.forward(shim, inputs, targets)
+
+        @staticmethod
+        def backward(ctx, grad_outputs):
+            grad_inputs, grad_targets = legacy.backward(ctx.shim, grad_outputs)
+            return grad_inputs, grad_targets, None
+
+    def modern_oim(inputs, targets, lut, momentum=0.5):
+        return _ModernOIM.apply(inputs, targets, _Shim(lut, momentum))
+
+    oim_mod.oim = modern_oim  # OIMLoss.forward resolves `oim` through its module
+    return types.SimpleNamespace(
+        loss=sys.modules["reid.loss"],
+        oim=oim_mod,
+        trainer=trainer_mod,
+    )
+
+
+@functools.lru_cache(maxsize=1)
 def load_reference_evaluator():
     """Returns (eva_functions, rerank) — both pure numpy/sklearn/torch-CPU."""
     # eva_functions.py does `from utils import to_torch, to_numpy` against

@@ -189,6 +189,93 @@ def test_resnet_trunk_matches_reference_resnets1():
     np.testing.assert_allclose(got, ref_out.numpy(), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_loss_recipe_matches_reference_seqtrainer(tmp_path):
+    """The complete 5-term training objective pinned against the literal
+    SEQTrainer._forward (reference reid/train/trainer.py:107-170) with
+    the reference's own OIMLoss/PairLoss/TripletLoss criterions — total
+    loss, all three precision metrics, and the post-backward OIM lut
+    trajectories (the stateful in-backward momentum+renorm side effect,
+    duplicate ids included). Reference models carry weights converted
+    from the grl_tpu init; luts start at zero on both sides."""
+    from reference_loader import load_reference_training
+
+    from grl_tpu.engine.optim import SGD
+    from grl_tpu.engine.train_step import grl_loss_fn, init_train_state
+    from grl_tpu import losses
+
+    ref = load_reference_models()
+    tr = load_reference_training()
+
+    num_classes = 6
+    cnn_ref = ref.grl_model.ResNet50_GRL_Model(pretrained=False, numclasses=0).train()
+    sia_ref = ref.Siamese.Siamese(2048, 512, 2).train()
+    unc_ref = ref.Siamese_video.Siamese_video(2048, 2048, 2).train()
+
+    cnn = models.GRLModel()
+    sia = models.Siamese(input_num=2048, output_num=512, class_num=2)
+    unc = models.SiameseVideo(input_num=2048)
+    ts = init_train_state(jax.random.PRNGKey(0), cnn, sia, unc, num_classes, 2048, SGD())
+
+    load_into_torch(cnn_ref, ts["params"]["cnn"], ts["model_state"]["cnn"],
+                    aliases=ct.GRL_ALIASES)
+    load_into_torch(sia_ref, ts["params"]["siamese"], ts["model_state"]["siamese"])
+    load_into_torch(unc_ref, ts["params"]["siamese_uncorr"],
+                    ts["model_state"]["siamese_uncorr"])
+
+    # non-degenerate luts on both sides: with the zero init every OIM
+    # logit ties at 0 and argmax/topk tie-breaking (not semantics) would
+    # decide the precision metrics
+    lut_rng = np.random.RandomState(7)
+    for name in ("corr", "uncorr"):
+        lut = lut_rng.randn(num_classes, 2048).astype(np.float32)
+        lut /= np.linalg.norm(lut, axis=1, keepdims=True)
+        ts["luts"][name] = jax.numpy.asarray(lut)
+
+    crit_corr = tr.loss.OIMLoss(2048, num_classes, scalar=30.0, momentum=0.5)
+    crit_uncorr = tr.loss.OIMLoss(2048, num_classes, scalar=30.0, momentum=0.5)
+    with torch.no_grad():
+        crit_corr.lut.copy_(torch.from_numpy(np.asarray(ts["luts"]["corr"])))
+        crit_uncorr.lut.copy_(torch.from_numpy(np.asarray(ts["luts"]["uncorr"])))
+    crit_veri = tr.loss.PairLoss()
+    trainer = tr.trainer.SEQTrainer(
+        cnn_ref, sia_ref, unc_ref, crit_veri, crit_corr, crit_uncorr, str(tmp_path)
+    )
+
+    rng = np.random.RandomState(0)
+    clips = (rng.rand(4, 2, 256, 128, 3).astype(np.float32) * 2 - 1)
+    pids = np.array([0, 0, 1, 1], np.int32)  # interleaved pairs, duplicate ids
+    t_clips = torch.from_numpy(np.transpose(clips, (0, 1, 4, 2, 3)).copy())
+    t_pids = torch.from_numpy(pids.astype(np.int64))
+
+    all_loss, prec_u, prec_v, prec_f = trainer._forward([t_clips], t_pids, 0, 0)
+    all_loss.backward()  # literal OIM.backward updates the criterion luts
+
+    total, aux = grl_loss_fn(
+        ts["params"], ts["model_state"], ts["luts"], clips, pids,
+        cnn=cnn, siamese=sia, siamese_uncorr=unc,
+    )
+    m = aux["metrics"]
+    assert float(total) == pytest.approx(float(all_loss), rel=1e-4)
+    assert float(m["prec_uncorr"]) == pytest.approx(float(prec_u), abs=1e-6)
+    assert float(m["prec_vid"]) == pytest.approx(float(prec_v), abs=1e-6)
+    assert float(m["prec_frame"]) == pytest.approx(float(prec_f), abs=1e-6)
+
+    # lut trajectories: video-then-frame on the shared corr table
+    feats = aux["lut_features"]
+    corr = losses.update_lut(ts["luts"]["corr"], *feats["corr_vid"], 0.5)
+    corr = losses.update_lut(corr, *feats["corr_frame"], 0.5)
+    uncorr = losses.update_lut(ts["luts"]["uncorr"], *feats["uncorr_vid"], 0.5)
+    # the lut rows inherit each framework's forward features, which
+    # differ at the usual fp32 cross-framework 1e-5 level
+    np.testing.assert_allclose(
+        np.asarray(corr), crit_corr.lut.numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(uncorr), crit_uncorr.lut.numpy(), atol=2e-4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Metrics: engine/metrics.py vs the reference's own eva_functions.py
 # ---------------------------------------------------------------------------

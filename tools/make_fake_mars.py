@@ -36,6 +36,8 @@ def make_fake_mars(
     width=64,
     seed=0,
     junk_tracklets=1,
+    query_cams=1,
+    test_tracklets_per_id_cam=None,
 ):
     """Write the dataset; returns ``root``. pids are 1-based like MARS;
     one tracklet per (pid, cam) by default; ``junk_tracklets`` pid==-1
@@ -77,11 +79,11 @@ def make_fake_mars(
             names.append(name)
         return names
 
-    def build_split(split_dir, pids, junk):
+    def build_split(split_dir, pids, junk, tpic):
         names, rows, start = [], [], 1
         for pid in pids:
             for cam in range(1, cams + 1):
-                for t in range(1, tracklets_per_id_cam + 1):
+                for t in range(1, tpic + 1):
                     nf = rng.randint(*frames_range)
                     names += write_tracklet(split_dir, pid, cam, t, nf)
                     rows.append([start, start + nf - 1, pid, cam])
@@ -93,10 +95,13 @@ def make_fake_mars(
             start += nf
         return names, np.array(rows, np.int64)
 
+    test_tpic = test_tracklets_per_id_cam or tracklets_per_id_cam
     train_pids = all_ids[:train_ids]
     test_pids = all_ids[train_ids:]
-    train_names, train_rows = build_split("bbox_train", train_pids, 0)
-    test_names, test_rows = build_split("bbox_test", test_pids, junk_tracklets)
+    train_names, train_rows = build_split("bbox_train", train_pids, 0,
+                                          tracklets_per_id_cam)
+    test_names, test_rows = build_split("bbox_test", test_pids, junk_tracklets,
+                                        test_tpic)
 
     with open(osp.join(info, "train_name.txt"), "w") as f:
         f.write("\n".join(train_names) + "\n")
@@ -104,12 +109,15 @@ def make_fake_mars(
         f.write("\n".join(test_names) + "\n")
     savemat(osp.join(info, "tracks_train_info.mat"), {"track_train_info": train_rows})
     savemat(osp.join(info, "tracks_test_info.mat"), {"track_test_info": test_rows})
-    # queries: the cam-1 tracklet of every test pid (1-based row indices);
-    # its cam-2 tracklet stays gallery-only -> valid cross-camera match
+    # queries: the first tracklet of every test pid on cams 1..query_cams
+    # (1-based row indices); remaining cams stay gallery-only -> every
+    # query keeps a valid cross-camera match. query_cams scales the query
+    # count toward MARS's 1980 at full cardinality.
     q_rows = [
         i + 1
         for i, row in enumerate(test_rows)
-        if row[2] != -1 and row[3] == 1 and (tracklets_per_id_cam == 1 or (i % tracklets_per_id_cam) == 0)
+        if row[2] != -1 and row[3] <= query_cams
+        and (test_tpic == 1 or (i % test_tpic) == 0)
     ]
     savemat(osp.join(info, "query_IDX.mat"), {"query_IDX": np.array([q_rows])})
     return root
