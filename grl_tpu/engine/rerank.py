@@ -135,7 +135,11 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
     that re-shards ``Aᵀ`` for the ``A ∧ Aᵀ`` reciprocal step and streams
     the expansion matmuls block-wise, so per-chip peak drops from n^2 to
     ~n^2/n_devices — the headroom path past the single-chip HBM cliff at
-    LS-VID scale (n=33k: 4.4 GB per fp32 buffer). n is padded up to a
+    LS-VID scale (n=33k: 4.4 GB per fp32 buffer). Caveat on that claim:
+    only one real chip is attached here, so the mesh path's NUMERICS are
+    validated on the 8-device virtual CPU mesh (test_sharding.py) while
+    the per-chip peak-memory arithmetic is sharding-spec math, not a
+    measured multi-chip HBM profile. n is padded up to a
     mesh multiple with max-distance phantom items (self-distance 0 so
     their reciprocal sets are self-only); pad rows/columns carry zero
     membership weight for real items and are sliced off by the caller.
