@@ -1,0 +1,122 @@
+"""xprof the jitted train step at a given batch size; print per-op stats.
+
+Captures a jax.profiler trace of a few warm steps on the attached TPU and
+converts the xplane with the xprof plugin's converters, printing the
+top ops by self time — the tool behind docs/PERFORMANCE.md's train-step
+breakdowns and the batch-scaling investigation (VERDICT round 2, weak 2).
+
+usage:
+  python tools/profile_train_step.py --batch 16 --steps 3
+  python tools/profile_train_step.py --batch 32 --steps 3 --tool hlo_op_stats
+"""
+
+import argparse
+import glob
+import json
+import os.path as osp
+import sys
+import tempfile
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def capture(batch, steps, seq_len, logdir):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grl_tpu import models
+    from grl_tpu.engine.optim import SGD
+    from grl_tpu.engine.train_step import init_train_state, make_train_step
+    from grl_tpu.utils.profiling import enable_compilation_cache, trace
+
+    enable_compilation_cache()
+    cd = jnp.bfloat16
+    trunk = models.resnet50_trunk(last_stride=1, compute_dtype=cd)
+    cnn = models.GRLModel(trunk=trunk, compute_dtype=cd)
+    sia = models.Siamese(input_num=cnn.num_feat, output_num=512, compute_dtype=cd)
+    unc = models.SiameseVideo(input_num=cnn.num_feat, compute_dtype=cd)
+    opt = SGD()
+    ts = init_train_state(jax.random.PRNGKey(0), cnn, sia, unc, 625, cnn.num_feat, opt)
+    step = make_train_step(cnn, sia, unc, opt, donate=False)
+
+    rng = np.random.RandomState(0)
+    clips = jnp.asarray(rng.rand(batch, seq_len, 256, 128, 3).astype(np.float32))
+    pids = jnp.asarray(np.repeat(np.arange(batch // 2) % 625, 2).astype(np.int32))
+
+    ts, m = step(ts, clips, pids, 1e-3)
+    float(m["loss"])  # compile + sync (host materialization; see CLAUDE.md)
+    with trace(logdir):
+        for _ in range(steps):
+            ts, m = step(ts, clips, pids, 1e-3)
+        float(m["loss"])
+
+
+def report(logdir, tool, top):
+    from xprof.convert import raw_to_tool_data as convert
+
+    paths = sorted(glob.glob(osp.join(logdir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {logdir}")
+    names = convert.xspace_to_tool_names(paths)
+    if tool == "list":
+        print(names)
+        return
+    data, _ctype = convert.xspace_to_tool_data(paths, tool, {})
+    out = data.decode() if isinstance(data, bytes) else data
+    if tool == "hlo_stats":
+        _print_hlo_stats(json.loads(out), top)
+    else:
+        print(out if isinstance(out, str) else json.dumps(out)[:20000])
+
+
+def _print_hlo_stats(table, top):
+    """Aggregate the hlo_stats gviz table: self time by category, then
+    the top individual ops."""
+    cols = [c["id"] for c in table["cols"]]
+    recs = [
+        {k: (c or {}).get("v") for k, c in zip(cols, r["c"])} for r in table["rows"]
+    ]
+    tkey = "total_self_time" if "total_self_time" in cols else "total_time"
+    total = sum(float(r.get(tkey) or 0) for r in recs)
+    by_cat = {}
+    for r in recs:
+        by_cat.setdefault(r.get("category") or "?", [0.0, 0])
+        by_cat[r["category"]][0] += float(r.get(tkey) or 0)
+        by_cat[r["category"]][1] += int(r.get("occurrences") or 0)
+    print(f"total self time: {total / 1e3:.2f} ms (across traced steps)")
+    print(f"{'category':<34} {'ms':>9} {'%':>6} {'#ops':>6}")
+    for cat, (us, occ) in sorted(by_cat.items(), key=lambda kv: -kv[1][0]):
+        print(f"{cat:<34} {us / 1e3:9.2f} {100 * us / total:6.1f} {occ:6d}")
+    print(f"\ntop {top} ops by self time:")
+    recs.sort(key=lambda r: -float(r.get(tkey) or 0))
+    for r in recs[:top]:
+        name = (r.get("hlo_op_name") or "?")[:60]
+        print(
+            f"{float(r.get(tkey) or 0) / 1e3:8.2f} ms  x{int(r.get('occurrences') or 0):<4}"
+            f" {r.get('category', '?'):<22} {name}"
+        )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--seq_len", type=int, default=8)
+    ap.add_argument("--tool", default="hlo_stats",
+                    help="xprof tool name, or 'list' to enumerate")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--logdir", default="")
+    ap.add_argument("--report-only", action="store_true",
+                    help="skip capture; parse an existing --logdir")
+    args = ap.parse_args()
+
+    logdir = args.logdir or tempfile.mkdtemp(prefix=f"xprof_b{args.batch}_")
+    if not args.report_only:
+        capture(args.batch, args.steps, args.seq_len, logdir)
+        print(f"trace captured in {logdir}", file=sys.stderr)
+    report(logdir, args.tool, args.top)
+
+
+if __name__ == "__main__":
+    main()
