@@ -276,6 +276,46 @@ def test_loss_recipe_matches_reference_seqtrainer(tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_eval_descriptor_matches_reference_recipe():
+    """The 6144-d descriptor construction (reference attevaluator.py:77-80:
+    cat(x_uncorr, siamese.self_attention(x_corr), x_corr.mean(t))) through
+    the REAL extraction path (Evaluator.describe_clips incl. bucketing)
+    vs the literal reference modules computing the same concat."""
+    from grl_tpu.data.transforms import normalize
+    from grl_tpu.engine.evaluator import Evaluator
+
+    ref = load_reference_models()
+    cnn_ref = ref.grl_model.ResNet50_GRL_Model(pretrained=False, numclasses=0).eval()
+    sia_ref = ref.Siamese.Siamese(2048, 512, 2).eval()
+
+    cnn = models.GRLModel()
+    sia = models.Siamese(input_num=2048, output_num=512)
+    cnn_p, cnn_s = cnn.init(jax.random.PRNGKey(0))
+    sia_p, sia_s = sia.init(jax.random.PRNGKey(1))
+    load_into_torch(cnn_ref, cnn_p, cnn_s, aliases=ct.GRL_ALIASES)
+    load_into_torch(sia_ref, sia_p, sia_s)
+
+    clips_u8 = np.random.RandomState(0).randint(
+        0, 256, (3, 2, 256, 128, 3), np.uint8
+    )
+    ev = Evaluator(cnn, sia, micro_batch=4)
+    params = {"cnn": cnn_p, "siamese": sia_p}
+    state = {"cnn": cnn_s, "siamese": sia_s}
+    chunks = ev.describe_clips(params, state, clips_u8)
+    got = np.concatenate([np.asarray(c)[:n] for c, n in chunks])
+
+    t_clips = torch.from_numpy(
+        np.transpose(np.asarray(normalize(clips_u8)), (0, 1, 4, 2, 3)).copy()
+    )
+    with torch.no_grad():
+        x_uncorr, x_corr = cnn_ref(t_clips)
+        pooled = sia_ref.self_attention(x_corr)
+        want = torch.cat((x_uncorr, pooled, x_corr.mean(dim=1)), dim=1)
+    assert got.shape == (3, 6144)
+    np.testing.assert_allclose(got, want.numpy(), atol=5e-5)
+
+
 # ---------------------------------------------------------------------------
 # Metrics: engine/metrics.py vs the reference's own eva_functions.py
 # ---------------------------------------------------------------------------
