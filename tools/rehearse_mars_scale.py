@@ -9,8 +9,13 @@ peak RSS covers everything. The small dress rehearsals use 8-16 ids;
 host-side O(n^2) or per-epoch-RNG pathologies only show at this
 cardinality.
 
-Run on CPU (the point is the host data plane, not device compute):
-  JAX_PLATFORMS=cpu python tools/rehearse_mars_scale.py /tmp/marscale
+Runs on the CPU backend by default — the point is the host data plane,
+not device compute, and on the axon-tunneled TPU the client's documented
+per-uploaded-byte RSS leak would dominate the memory reading (measured:
+the same rehearsal peaks at 16.4 GB through the tunnel vs ~2 GB on CPU).
+Pass --tpu to deliberately measure the tunnel path.
+
+  python tools/rehearse_mars_scale.py /tmp/marscale
 
 Prints one JSON line with phase wall-clocks and max RSS; results are
 recorded in docs/PERFORMANCE.md.
@@ -45,15 +50,20 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--seq-len", type=int, default=4)
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the attached TPU (tunnel costs + client "
+                         "RSS leak included) instead of forcing CPU")
     args = ap.parse_args()
 
     import jax
 
-    if jax.default_backend() != "cpu":
-        # the axon plugin ignores JAX_PLATFORMS; this tool must not be the
-        # thing that times the tunnel
-        print("warning: non-cpu backend; timings include device link costs",
-              file=sys.stderr)
+    if not args.tpu:
+        # the axon plugin ignores the JAX_PLATFORMS env var; the platform
+        # must be forced through jax.config BEFORE backend init
+        jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu" and not args.tpu:
+        raise SystemExit("backend already initialized as non-cpu; "
+                         "run this tool in a fresh process")
 
     from make_fake_mars import make_fake_mars
 
