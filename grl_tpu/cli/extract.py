@@ -61,6 +61,7 @@ def extract_split(args):
         only_eval=not args.rrs,
         split_id=args.split_id,
         dataset_kwargs=_synthetic_kwargs(args),
+        use_flow=bool(getattr(args, "use_flow", False)),
     )
     loader = {"query": query_loader, "gallery": gallery_loader}[args.split]
 
@@ -170,6 +171,9 @@ def build_parser():
     f.add_argument("--features", type=int, default=cfg.model.features)
     f.add_argument("--bf16", action="store_true")
     f.add_argument("--tiny", action="store_true")
+    f.add_argument("--use-flow", action="store_true",
+                   help="sequence datasets only: extract from a flow-trained "
+                        "checkpoint on 6-channel (RGB|flow) clips")
     f.add_argument("--seed", type=int, default=cfg.seed)
     f.add_argument("--synthetic-ids", type=int, default=0,
                    help="-d synthetic: must match the value the checkpoint "

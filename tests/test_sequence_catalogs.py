@@ -176,6 +176,23 @@ def test_use_flow_cli_end_to_end(tmp_path):
         ])
         etop1 = eval_cli.main(eargs)
         assert 0.0 <= etop1 <= 1.0
+
+        # serving surface too: descriptor extraction from the flow checkpoint
+        from grl_tpu.cli import extract as extract_cli
+
+        xargs = extract_cli.build_parser().parse_args([
+            "features", "-d", "ilidsvidsequence", "--data-dir", root,
+            "--tiny", "--use-flow", "--seq_len", "2", "--seq_srd", "2",
+            "-j", "2", "--logs-dir", str(logs),
+            "--checkpoint", str(logs / "checkpoint.npz"),
+            "--split", "gallery", "-o", str(tmp_path / "flow_gallery.npz"),
+        ])
+        shape = extract_cli.main(xargs)
+        import numpy as _np
+
+        blob = _np.load(tmp_path / "flow_gallery.npz")
+        # tiny trunk: 128-ch features -> 3*128 descriptor (6144 full-size)
+        assert tuple(blob["features"].shape) == tuple(shape) and shape[1] == 384
     finally:
         sys.stdout = stdout
 
