@@ -89,7 +89,7 @@ def wait_all(procs, tmp_path, mode, timeout):
 @pytest.mark.slow
 def test_two_process_training_matches_single_process_replay(tmp_path):
     procs = spawn_workers(tmp_path, "train", free_port())
-    wait_all(procs, tmp_path, "train", timeout=420)
+    wait_all(procs, tmp_path, "train", timeout=900)
 
     b0 = np.load(tmp_path / "batches_0.npz")
     b1 = np.load(tmp_path / "batches_1.npz")
@@ -161,7 +161,7 @@ def test_two_process_training_matches_single_process_replay(tmp_path):
 def test_sigterm_to_one_process_stops_both(tmp_path):
     procs = spawn_workers(tmp_path, "preempt", free_port())
     # wait until BOTH workers are compiled and through >= 1 epoch
-    deadline = time.time() + 420
+    deadline = time.time() + 900
     while time.time() < deadline and not all(
         osp.exists(tmp_path / f"ready_{i}") for i in range(2)
     ):
@@ -172,7 +172,7 @@ def test_sigterm_to_one_process_stops_both(tmp_path):
 
     # SIGTERM ONLY process 1 — process 0 must stop via the collective
     procs[1][0].send_signal(signal.SIGTERM)
-    wait_all(procs, tmp_path, "preempt", timeout=240)
+    wait_all(procs, tmp_path, "preempt", timeout=600)
 
     r0 = json.loads((tmp_path / "preempt_0.json").read_text())
     r1 = json.loads((tmp_path / "preempt_1.json").read_text())
