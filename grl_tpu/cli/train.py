@@ -294,6 +294,21 @@ def main(args):
     # state pull + npz write run in a worker thread over on-device copies
     # (the donated live buffers stay untouched)
     checkpointer = AsyncCheckpointer()
+    # multi-host: the train state is fully replicated, so one writer
+    # suffices — process 0 checkpoints, the rest skip (N hosts pulling and
+    # writing the same 449 MB to one shared-filesystem path would be N x
+    # the traffic for identical bytes). Every host still takes the same
+    # epoch-loop branches (best_top1 is computed identically everywhere).
+    is_writer = jax.process_index() == 0
+    if not is_writer:
+        class _NoopCheckpointer:
+            def save(self, *a, **k):
+                pass
+
+            def wait(self):
+                pass
+
+        checkpointer = _NoopCheckpointer()
 
     try:
         for epoch in range(start_epoch, args.epochs):

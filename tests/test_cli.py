@@ -147,6 +147,22 @@ def test_unsupported_flags_rejected():
     validate_args(train_parser().parse_args(base + ["--sample_method", "random"]))
 
 
+def test_non_zero_process_skips_checkpoint_writes(tmp_path, monkeypatch):
+    """Multi-host: the train state is replicated, so only process 0 writes
+    checkpoints — N hosts pulling + writing identical bytes to one shared
+    path would multiply the traffic for nothing."""
+    import jax
+
+    from grl_tpu.cli import train as train_cli
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    logs = tmp_path / "nonwriter"
+    top1 = run_train(tmp_path, logs, ["--epochs", "1"])
+    assert 0.0 <= top1 <= 1.0
+    assert not (logs / "checkpoint.npz").exists()
+    assert not (logs / "checkpoint_best.npz").exists()
+
+
 def test_sample_method_random_trains(tmp_path):
     logs = tmp_path / "rand"
     top1 = run_train(tmp_path, logs, ["--epochs", "1", "--sample_method", "random"])
