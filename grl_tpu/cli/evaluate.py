@@ -37,9 +37,11 @@ def main(args):
     maybe_initialize_distributed()  # must precede any backend init
     enable_compilation_cache()
     run = 0
-    while osp.exists(osp.join(args.logs_dir, f"log_test{run}.txt")):
+    # per-process tee logs under multi-host (see cli/train.py)
+    psuf = f".p{jax.process_index()}" if jax.process_index() else ""
+    while osp.exists(osp.join(args.logs_dir, f"log_test{run}{psuf}.txt")):
         run += 1
-    sys.stdout = Logger(osp.join(args.logs_dir, f"log_test{run}.txt"))
+    sys.stdout = Logger(osp.join(args.logs_dir, f"log_test{run}{psuf}.txt"))
     print(f"==========\nArgs:{args}\n==========")
 
     dataset, num_classes, _train_loader, query_loader, gallery_loader = get_data(

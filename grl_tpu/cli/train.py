@@ -148,9 +148,13 @@ def main(args):
 
     run = 0
     tag = "test" if args.evaluate else "train"
-    while osp.exists(osp.join(args.logs_dir, f"log_{tag}{run}.txt")):
+    # multi-host on a shared filesystem: every process keeps its own tee
+    # log (diagnostics differ per host) under a process-suffixed name so
+    # they never clobber process 0's canonical log_train{N}.txt
+    psuf = f".p{jax.process_index()}" if jax.process_index() else ""
+    while osp.exists(osp.join(args.logs_dir, f"log_{tag}{run}{psuf}.txt")):
         run += 1
-    sys.stdout = Logger(osp.join(args.logs_dir, f"log_{tag}{run}.txt"))
+    sys.stdout = Logger(osp.join(args.logs_dir, f"log_{tag}{run}{psuf}.txt"))
     print(f"==========\nArgs:{args}\n==========")
     print(f"devices: {jax.devices()}")
 
@@ -253,9 +257,13 @@ def main(args):
         return top1
 
     # wipe stale scalar/event files only on fresh runs — a resumed run
-    # must keep its earlier training curves
-    writer = ScalarWriter(osp.join(args.logs_dir, "train_log"),
-                          tensorboard=bool(args.tensorboard), wipe=not args.resume)
+    # must keep its earlier training curves. Multi-host: the logged
+    # scalars are global collective values, identical on every host, so
+    # process 0 is the only scalar writer (same rationale as checkpoints).
+    writer = None
+    if jax.process_index() == 0:
+        writer = ScalarWriter(osp.join(args.logs_dir, "train_log"),
+                              tensorboard=bool(args.tensorboard), wipe=not args.resume)
     step_fn = make_train_step(
         cnn, siamese, siamese_uncorr, optimizer,
         oim_scalar=args.oim_scalar, oim_momentum=args.oim_momentum,
@@ -357,7 +365,8 @@ def main(args):
     finally:
         for sig, handler in prev_handlers:
             signal.signal(sig, handler)
-    writer.close()
+    if writer is not None:
+        writer.close()
     return best_top1
 
 
