@@ -44,6 +44,7 @@ def main(args):
     sys.stdout = Logger(osp.join(args.logs_dir, f"log_test{run}{psuf}.txt"))
     print(f"==========\nArgs:{args}\n==========")
 
+    nproc = jax.process_count()
     dataset, num_classes, _train_loader, query_loader, gallery_loader = get_data(
         args.dataset,
         args.data_dir,
@@ -55,7 +56,20 @@ def main(args):
         split_id=args.split,
         dataset_kwargs=dict(seed=args.seed) if args.dataset == "synthetic" else None,
         use_flow=bool(getattr(args, "use_flow", False)),
+        eval_stripe=nproc > 1,
     )
+    multihost = None
+    if nproc > 1:
+        # each process extracted only its stripe; the evaluator assembles
+        # globally-sharded features and runs the protocol SPMD over the pod
+        def _meta(items):
+            return (
+                len(items),
+                np.asarray([t[1] for t in items]),
+                np.asarray([t[2] for t in items]),
+            )
+
+        multihost = {"query": _meta(dataset.query), "gallery": _meta(dataset.gallery)}
 
     cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
     template = init_train_state(
@@ -75,6 +89,11 @@ def main(args):
     mesh = auto_mesh(limit=args.devices or None)
     if mesh is not None:
         print(f"data-parallel mesh over {mesh.devices.size} devices")
+    if nproc > 1 and (mesh is None or mesh.devices.size != len(jax.devices())):
+        raise SystemExit(
+            "multi-host evaluation: the mesh must span every device "
+            f"({len(jax.devices())}); drop --devices"
+        )
 
     cfg = ExperimentConfig.from_args(args)
     evaluator = Evaluator(cnn, siamese, only_eval=True, rerank=bool(args.rerank),
@@ -82,7 +101,8 @@ def main(args):
                           rerank_k2=cfg.eval.rerank_k2, rerank_lambda=cfg.eval.rerank_lambda,
                           visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None,
                           mesh=mesh)
-    top1 = evaluator.evaluate(state["params"], state["model_state"], query_loader, gallery_loader)
+    top1 = evaluator.evaluate(state["params"], state["model_state"], query_loader,
+                              gallery_loader, multihost=multihost)
     print("rank-1 accuracy is", top1)
     return top1
 

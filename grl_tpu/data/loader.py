@@ -255,6 +255,7 @@ def get_data(
     train_sample="rrs_train",
     process_shard=False,
     use_flow=False,
+    eval_stripe=False,
 ):
     """Build (dataset, num_classes, train_loader, query_loader, gallery_loader)
     — the reference's get_data surface (reid/data/dataloader.py:12-81)."""
@@ -319,13 +320,23 @@ def get_data(
 
     eval_sample = "dense" if only_eval else "rrs_test"
     eval_bs = 1 if only_eval else eval_batch
+    query_list, gallery_list = dataset.query, dataset.gallery
+    if eval_stripe:
+        # multi-host evaluation: each process decodes only its contiguous
+        # stripe of the eval catalogs (parallel.stripe_catalog); the
+        # caller assembles the per-process feature blocks into global
+        # arrays via Evaluator.evaluate(multihost=...)
+        from ..parallel import stripe_catalog
+
+        query_list, _, _ = stripe_catalog(query_list)
+        gallery_list, _, _ = stripe_catalog(gallery_list)
     query_loader = ClipLoader(
-        ClipDataset(dataset.query, seq_len, eval_sample, height, width, flow_map=flow_map),
+        ClipDataset(query_list, seq_len, eval_sample, height, width, flow_map=flow_map),
         batch_size=eval_bs,
         workers=workers,
     )
     gallery_loader = ClipLoader(
-        ClipDataset(dataset.gallery, seq_len, eval_sample, height, width, flow_map=flow_map),
+        ClipDataset(gallery_list, seq_len, eval_sample, height, width, flow_map=flow_map),
         batch_size=eval_bs,
         workers=workers,
     )

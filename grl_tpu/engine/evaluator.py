@@ -243,11 +243,52 @@ class Evaluator:
 
     # -- full protocol ---------------------------------------------------
 
-    def evaluate(self, params, state, query_loader, gallery_loader, cmc_topk=(1, 5, 10, 20)):
+    def evaluate(self, params, state, query_loader, gallery_loader, cmc_topk=(1, 5, 10, 20),
+                 multihost=None):
+        """Full retrieval protocol.
+
+        ``multihost``: optional ``{"query": (n_total, pids, camids),
+        "gallery": (n_total, pids, camids)}`` built from the FULL
+        catalogs. The loaders must then hold THIS process's contiguous
+        stripe (``parallel.stripe_catalog``): every host extracts only
+        its stripe and the per-process feature blocks assemble into
+        globally-sharded arrays (``parallel.gather_striped_rows``) — the
+        distance matmul, protocol, and re-ranking below then run SPMD
+        over the whole pod. Requires ``mesh``.
+        """
+        if multihost is not None and self.mesh is None:
+            raise ValueError("multihost evaluation requires a device mesh")
         t0 = time.time()
-        qf, q_pids, q_camids = self.extract_features(params, state, query_loader)
+
+        def fetch(loader, split):
+            if multihost is None:
+                feats, pids, camids = self.extract_features(params, state, loader)
+                return feats, np.asarray(pids), np.asarray(camids)
+            # multi-host: extraction is process-LOCAL (each host's stripe
+            # clips exist only on that host — a global-mesh device_put
+            # would demand identical data everywhere), data-parallel over
+            # this host's devices; only the assembled feature blocks form
+            # a global array, sharded so each host's rows stay on its own
+            # chips.
+            from jax.sharding import Mesh
+
+            from ..parallel import gather_striped_rows
+
+            global_mesh = self.mesh
+            axis = global_mesh.axis_names[0]
+            self.mesh = Mesh(np.asarray(jax.local_devices()), (axis,))
+            try:
+                feats, _pids, _camids = self.extract_features(params, state, loader)
+                feats = np.asarray(feats)
+            finally:
+                self.mesh = global_mesh
+            n_total, pids, camids = multihost[split]
+            feats = gather_striped_rows(feats, n_total, self.mesh)
+            return feats, np.asarray(pids), np.asarray(camids)
+
+        qf, q_pids, q_camids = fetch(query_loader, "query")
         print(f"Done, obtained {qf.shape[0]}-by-{qf.shape[1]} matrix")
-        gf, g_pids, g_camids = self.extract_features(params, state, gallery_loader)
+        gf, g_pids, g_camids = fetch(gallery_loader, "gallery")
         # gallery includes the queries (attevaluator.py:143-145); the concat
         # happens on device — features never visit the host
         gf = jnp.concatenate([qf, gf], axis=0)
@@ -288,6 +329,12 @@ class Evaluator:
                 )
                 del qq, gg
             else:
+                if multihost is not None:
+                    raise ValueError(
+                        "multihost re-ranking needs the device path (TPU "
+                        "backend): the host algorithm cannot pull a "
+                        "cross-process distance matrix"
+                    )
                 qq = np.asarray(_euclidean(qf_d, qf_d))
                 gg = np.asarray(_euclidean(gf_d, gf_d))
                 distmat = _re_ranking(
@@ -311,10 +358,12 @@ class Evaluator:
                 print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
         print("------------------")
 
-        if self.visual_dir:
+        if self.visual_dir and multihost is None:
             # ranked-result strips (reference attevaluator.py:130-135 +
             # evaluator/visualize.py); gallery items = query ∪ gallery,
-            # matching the distmat columns
+            # matching the distmat columns. Skipped under multihost: the
+            # distmat spans non-addressable devices and the loaders hold
+            # only this host's stripe — render from a single-host run.
             from .visualize import visualize_ranked_results
 
             q_items = list(query_loader.dataset.tracklets)

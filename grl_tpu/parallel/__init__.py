@@ -10,10 +10,12 @@ from .mesh import (
 )
 from .multihost import (
     GlobalBatchLoader,
+    gather_striped_rows,
     global_batch_loader,
     maybe_initialize_distributed,
     min_shard_size,
     shard_catalog,
+    stripe_catalog,
 )
 
 __all__ = [
@@ -24,6 +26,8 @@ __all__ = [
     "maybe_initialize_distributed",
     "min_shard_size",
     "shard_catalog",
+    "stripe_catalog",
+    "gather_striped_rows",
     "replicate",
     "shard_batch",
     "sharded_train_state",

@@ -116,6 +116,56 @@ def min_shard_size(tracklets, process_count=None):
     return min(loads)
 
 
+def stripe_catalog(tracklets, process_index=None, process_count=None,
+                   local_devices=None):
+    """Equal CONTIGUOUS stripes of an eval catalog, one per process.
+
+    Eval extraction has no pair/identity constraint (unlike
+    :func:`shard_catalog`), so tracklets split by position: every process
+    takes ``k = ceil(n / P)`` consecutive items (k rounded up to a
+    multiple of the local device count so each host's feature block
+    device-shards evenly), with trailing processes repeating the LAST
+    catalog item as padding. Because stripes are contiguous and only
+    trailing positions pad, the globally assembled feature array is the
+    catalog order with all pad rows at the tail —
+    :func:`gather_striped_rows` slices them off.
+
+    Returns (local_tracklets, n_total, k).
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    if local_devices is None:
+        local_devices = jax.local_device_count()
+    n = len(tracklets)
+    if n == 0:
+        raise ValueError("cannot stripe an empty catalog")
+    k = -(-n // process_count)
+    k = -(-k // local_devices) * local_devices
+    start = process_index * k
+    local = [tracklets[min(i, n - 1)] for i in range(start, start + k)]
+    return local, n, k
+
+
+def gather_striped_rows(local_rows, n_total, mesh, axis="data"):
+    """Per-process (k, C) feature blocks -> global (n_total, C) jax.Array
+    row-sharded over ``mesh``.
+
+    Each host contributes exactly its stripe (no cross-host data
+    movement: every host's rows land on its own devices); the tail pad
+    rows from :func:`stripe_catalog` are sliced off. Downstream device
+    math (distance matmul, protocol, re-ranking) consumes the sharded
+    array directly.
+    """
+    import jax.numpy as jnp
+
+    local_rows = np.ascontiguousarray(local_rows)
+    sharding = NamedSharding(mesh, P(axis, *([None] * (local_rows.ndim - 1))))
+    arr = jax.make_array_from_process_local_data(sharding, local_rows)
+    return jnp.asarray(arr[:n_total])
+
+
 def global_batch_loader(loader, mesh, axis="data"):
     """Wrap a per-host ClipLoader into a global-array iterator.
 

@@ -155,6 +155,56 @@ def mode_train(args):
           flush=True)
 
 
+def mode_eval(args):
+    """Multi-host striped evaluation: each process extracts only its
+    contiguous stripe of the eval catalogs; features assemble into
+    globally-sharded arrays and the protocol runs SPMD over both
+    processes. Compared in-worker against the single-host evaluation of
+    the full catalogs (each process can do that locally at this scale)."""
+    import jax
+
+    from grl_tpu import models
+    from grl_tpu.data import get_data
+    from grl_tpu.engine.evaluator import Evaluator
+    from grl_tpu.parallel import data_mesh
+
+    ds, _n, _t, q_full, g_full = get_data(
+        "synthetic", batch_size=LOCAL_BATCH, seq_len=SEQ_LEN, workers=1,
+        seed=0, dataset_kwargs=DATASET_KW,
+    )
+    _ds2, _n2, _t2, q_s, g_s = get_data(
+        "synthetic", batch_size=LOCAL_BATCH, seq_len=SEQ_LEN, workers=1,
+        seed=0, dataset_kwargs=DATASET_KW, eval_stripe=True,
+    )
+    trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
+    cnn = models.GRLModel(trunk=trunk)
+    sia = models.Siamese(input_num=cnn.num_feat, output_num=16)
+    cp, cs = jax.jit(cnn.init)(jax.random.PRNGKey(0))
+    sp, ss = jax.jit(sia.init)(jax.random.PRNGKey(1))
+    p, s = {"cnn": cp, "siamese": sp}, {"cnn": cs, "siamese": ss}
+
+    def meta(items):
+        return (len(items), np.asarray([t[1] for t in items]),
+                np.asarray([t[2] for t in items]))
+
+    mesh = data_mesh(4)
+    multihost = {"query": meta(ds.query), "gallery": meta(ds.gallery)}
+    striped = Evaluator(cnn, sia, micro_batch=8, mesh=mesh).evaluate(
+        p, s, q_s, g_s, multihost=multihost
+    )
+    # single-host reference: full catalogs, local-devices-only execution
+    local_mesh = None
+    ref = Evaluator(cnn, sia, micro_batch=8, mesh=local_mesh).evaluate(
+        p, s, q_full, g_full
+    )
+    import json as _json
+
+    with open(osp.join(args.out, f"eval_{args.process_id}.json"), "w") as f:
+        _json.dump({"striped_top1": float(striped), "ref_top1": float(ref)}, f)
+    print(f"[worker {args.process_id}] eval mode done: striped={striped} ref={ref}",
+          flush=True)
+
+
 def mode_preempt(args):
     from grl_tpu.engine.trainer import Trainer
 
@@ -201,7 +251,7 @@ def main():
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--port", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mode", choices=["train", "preempt"], required=True)
+    ap.add_argument("--mode", choices=["train", "preempt", "eval"], required=True)
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -223,6 +273,8 @@ def main():
 
     if args.mode == "train":
         mode_train(args)
+    elif args.mode == "eval":
+        mode_eval(args)
     else:
         mode_preempt(args)
 

@@ -158,6 +158,23 @@ def test_two_process_training_matches_single_process_replay(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_striped_eval_matches_single_host(tmp_path):
+    """Multi-host evaluation for real: each process extracts only its
+    contiguous catalog stripe, features assemble into globally-sharded
+    arrays, and the distance matmul + device protocol run SPMD over both
+    processes. Each worker also evaluates the full catalogs single-host
+    and the rank-1 results must agree."""
+    procs = spawn_workers(tmp_path, "eval", free_port())
+    wait_all(procs, tmp_path, "eval", timeout=900)
+    r0 = json.loads((tmp_path / "eval_0.json").read_text())
+    r1 = json.loads((tmp_path / "eval_1.json").read_text())
+    # the striped protocol is collective: both processes see one result
+    assert r0["striped_top1"] == pytest.approx(r1["striped_top1"], abs=1e-9)
+    assert r0["striped_top1"] == pytest.approx(r0["ref_top1"], abs=1e-6)
+    assert r1["striped_top1"] == pytest.approx(r1["ref_top1"], abs=1e-6)
+
+
+@pytest.mark.slow
 def test_sigterm_to_one_process_stops_both(tmp_path):
     procs = spawn_workers(tmp_path, "preempt", free_port())
     # wait until BOTH workers are compiled and through >= 1 epoch

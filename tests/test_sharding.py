@@ -391,3 +391,60 @@ def test_mesh_evaluator_matches_single_device():
         p, s, query_loader, gallery_loader
     )
     assert abs(ref - sharded) < 1e-6
+
+
+def test_stripe_catalog_covers_and_pads():
+    from grl_tpu.parallel import stripe_catalog
+
+    items = [(f"t{i}", i % 3, i % 2) for i in range(10)]
+    stripes = [stripe_catalog(items, i, 3, local_devices=2) for i in range(3)]
+    k = stripes[0][2]
+    assert all(s[2] == k and len(s[0]) == k and s[1] == 10 for s in stripes)
+    assert k % 2 == 0 and 3 * k >= 10
+    # concatenated stripes = catalog order, pad (= repeats of the last
+    # item) strictly at the tail
+    flat = [t for s in stripes for t in s[0]]
+    assert flat[:10] == items
+    assert all(t == items[-1] for t in flat[10:])
+    # degenerate single process: pad only up to device divisibility
+    local, n, k1 = stripe_catalog(items, 0, 1, local_devices=2)
+    assert n == 10 and local[:10] == items
+
+
+def test_multihost_striped_evaluate_degenerate_matches():
+    """evaluate(multihost=...) with a single process (stripe = full
+    catalog up to device-divisibility pad) must equal the plain path —
+    the degenerate contract the real 2-process test builds on."""
+    from grl_tpu import models
+    from grl_tpu.data import get_data
+    from grl_tpu.engine.evaluator import Evaluator
+
+    ds, _, _, q_loader, g_loader = get_data(
+        "synthetic", "", 4, 4, 4, 2, only_eval=False, dataset_kwargs=dict(seed=0)
+    )
+    ds2, _, _, q_s, g_s = get_data(
+        "synthetic", "", 4, 4, 4, 2, only_eval=False, dataset_kwargs=dict(seed=0),
+        eval_stripe=True,
+    )
+    trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
+    cnn = models.GRLModel(trunk=trunk)
+    siamese = models.Siamese(input_num=cnn.num_feat, output_num=16)
+    params, state = jax.jit(cnn.init)(jax.random.PRNGKey(0))
+    sp, ss = jax.jit(siamese.init)(jax.random.PRNGKey(1))
+    p = {"cnn": params, "siamese": sp}
+    s = {"cnn": state, "siamese": ss}
+    mesh = data_mesh(8)
+
+    ref = Evaluator(cnn, siamese, micro_batch=8, mesh=mesh).evaluate(
+        p, s, q_loader, g_loader
+    )
+
+    def meta(items):
+        return (len(items), np.asarray([t[1] for t in items]),
+                np.asarray([t[2] for t in items]))
+
+    multihost = {"query": meta(ds2.query), "gallery": meta(ds2.gallery)}
+    striped = Evaluator(cnn, siamese, micro_batch=8, mesh=mesh).evaluate(
+        p, s, q_s, g_s, multihost=multihost
+    )
+    assert abs(ref - striped) < 1e-6
