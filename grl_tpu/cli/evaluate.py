@@ -62,14 +62,10 @@ def main(args):
     if nproc > 1:
         # each process extracted only its stripe; the evaluator assembles
         # globally-sharded features and runs the protocol SPMD over the pod
-        def _meta(items):
-            return (
-                len(items),
-                np.asarray([t[1] for t in items]),
-                np.asarray([t[2] for t in items]),
-            )
+        from ..parallel import eval_catalog_meta
 
-        multihost = {"query": _meta(dataset.query), "gallery": _meta(dataset.gallery)}
+        multihost = {"query": eval_catalog_meta(dataset.query),
+                     "gallery": eval_catalog_meta(dataset.gallery)}
 
     cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
     template = init_train_state(

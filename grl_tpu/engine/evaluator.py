@@ -283,7 +283,7 @@ class Evaluator:
             finally:
                 self.mesh = global_mesh
             n_total, pids, camids = multihost[split]
-            feats = gather_striped_rows(feats, n_total, self.mesh)
+            feats = gather_striped_rows(feats, n_total, self.mesh, axis=axis)
             return feats, np.asarray(pids), np.asarray(camids)
 
         qf, q_pids, q_camids = fetch(query_loader, "query")
@@ -358,6 +358,10 @@ class Evaluator:
                 print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
         print("------------------")
 
+        if self.visual_dir and multihost is not None:
+            print("visualizations skipped under multi-host (the distance "
+                  "matrix spans non-addressable devices and each host holds "
+                  "only its catalog stripe); re-run single-host for --visual")
         if self.visual_dir and multihost is None:
             # ranked-result strips (reference attevaluator.py:130-135 +
             # evaluator/visualize.py); gallery items = query ∪ gallery,

@@ -10,6 +10,7 @@ from .mesh import (
 )
 from .multihost import (
     GlobalBatchLoader,
+    eval_catalog_meta,
     gather_striped_rows,
     global_batch_loader,
     maybe_initialize_distributed,
@@ -28,6 +29,7 @@ __all__ = [
     "shard_catalog",
     "stripe_catalog",
     "gather_striped_rows",
+    "eval_catalog_meta",
     "replicate",
     "shard_batch",
     "sharded_train_state",

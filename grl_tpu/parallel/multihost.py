@@ -148,6 +148,17 @@ def stripe_catalog(tracklets, process_index=None, process_count=None,
     return local, n, k
 
 
+def eval_catalog_meta(tracklets):
+    """(n_total, pids, camids) for one FULL eval catalog — the per-split
+    value of ``Evaluator.evaluate``'s ``multihost`` dict. Lives here so
+    the CLI and tests share one definition of the tracklet-tuple layout."""
+    return (
+        len(tracklets),
+        np.asarray([t[1] for t in tracklets]),
+        np.asarray([t[2] for t in tracklets]),
+    )
+
+
 def gather_striped_rows(local_rows, n_total, mesh, axis="data"):
     """Per-process (k, C) feature blocks -> global (n_total, C) jax.Array
     row-sharded over ``mesh``.

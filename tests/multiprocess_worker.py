@@ -166,7 +166,7 @@ def mode_eval(args):
     from grl_tpu import models
     from grl_tpu.data import get_data
     from grl_tpu.engine.evaluator import Evaluator
-    from grl_tpu.parallel import data_mesh
+    from grl_tpu.parallel import data_mesh, eval_catalog_meta
 
     ds, _n, _t, q_full, g_full = get_data(
         "synthetic", batch_size=LOCAL_BATCH, seq_len=SEQ_LEN, workers=1,
@@ -183,12 +183,9 @@ def mode_eval(args):
     sp, ss = jax.jit(sia.init)(jax.random.PRNGKey(1))
     p, s = {"cnn": cp, "siamese": sp}, {"cnn": cs, "siamese": ss}
 
-    def meta(items):
-        return (len(items), np.asarray([t[1] for t in items]),
-                np.asarray([t[2] for t in items]))
-
     mesh = data_mesh(4)
-    multihost = {"query": meta(ds.query), "gallery": meta(ds.gallery)}
+    multihost = {"query": eval_catalog_meta(ds.query),
+                 "gallery": eval_catalog_meta(ds.gallery)}
     striped = Evaluator(cnn, sia, micro_batch=8, mesh=mesh).evaluate(
         p, s, q_s, g_s, multihost=multihost
     )

@@ -141,12 +141,16 @@ def load_reference_training():
 def load_reference_evaluator():
     """Returns (eva_functions, rerank) — both pure numpy/sklearn/torch-CPU."""
     # eva_functions.py does `from utils import to_torch, to_numpy` against
-    # the reference's root-level utils package.
-    if REF not in sys.path:
+    # the reference's root-level utils package. Only remove the sys.path
+    # entry if THIS call added it — a caller may legitimately have REF on
+    # its own path.
+    added = REF not in sys.path
+    if added:
         sys.path.insert(0, REF)
     try:
         eva = _load("_refeval_eva_functions", f"{REF}/reid/evaluator/eva_functions.py")
         rerank = _load("_refeval_rerank", f"{REF}/reid/evaluator/rerank.py")
     finally:
-        sys.path.remove(REF)
+        if added:
+            sys.path.remove(REF)
     return eva, rerank

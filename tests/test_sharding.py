@@ -439,11 +439,10 @@ def test_multihost_striped_evaluate_degenerate_matches():
         p, s, q_loader, g_loader
     )
 
-    def meta(items):
-        return (len(items), np.asarray([t[1] for t in items]),
-                np.asarray([t[2] for t in items]))
+    from grl_tpu.parallel import eval_catalog_meta
 
-    multihost = {"query": meta(ds2.query), "gallery": meta(ds2.gallery)}
+    multihost = {"query": eval_catalog_meta(ds2.query),
+                 "gallery": eval_catalog_meta(ds2.gallery)}
     striped = Evaluator(cnn, siamese, micro_batch=8, mesh=mesh).evaluate(
         p, s, q_s, g_s, multihost=multihost
     )

@@ -81,9 +81,10 @@ def _print_hlo_stats(table, top):
     total = sum(float(r.get(tkey) or 0) for r in recs)
     by_cat = {}
     for r in recs:
-        by_cat.setdefault(r.get("category") or "?", [0.0, 0])
-        by_cat[r["category"]][0] += float(r.get(tkey) or 0)
-        by_cat[r["category"]][1] += int(r.get("occurrences") or 0)
+        cat = r.get("category") or "?"
+        by_cat.setdefault(cat, [0.0, 0])
+        by_cat[cat][0] += float(r.get(tkey) or 0)
+        by_cat[cat][1] += int(r.get("occurrences") or 0)
     print(f"total self time: {total / 1e3:.2f} ms (across traced steps)")
     print(f"{'category':<34} {'ms':>9} {'%':>6} {'#ops':>6}")
     for cat, (us, occ) in sorted(by_cat.items(), key=lambda kv: -kv[1][0]):
