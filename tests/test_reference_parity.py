@@ -316,6 +316,50 @@ def test_eval_descriptor_matches_reference_recipe():
     np.testing.assert_allclose(got, want.numpy(), atol=5e-5)
 
 
+def test_eval_transform_chain_matches_reference(tmp_path):
+    """The eval input chain end to end vs the literal reference transforms:
+    JPEG file -> decode -> RectScale resize -> ToTensor -> Normalize
+    (reference dataloader.py:66-72 chain, seqtransforms.py RectScale/
+    ToTensor/Normalize run as-is) against ClipDataset's native decode +
+    resize + on-device normalize. With the native resize PIL-bit-exact,
+    the two pipelines should agree to float rounding."""
+    import importlib.util
+
+    from PIL import Image
+
+    from grl_tpu.data import ClipDataset
+    from grl_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, normalize
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_seqtransforms", "/root/reference/reid/data/seqtransforms.py"
+    )
+    T = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(T)
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(4):
+        img = (rng.rand(48, 20, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"f{i}.jpg"
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(str(p))
+
+    h, w = 64, 32
+    chain = T.Compose([
+        T.RectScale(h, w),
+        T.ToTensor(),
+        T.Normalize(list(IMAGENET_MEAN), list(IMAGENET_STD)),
+    ])
+    ref_frames = chain([[Image.open(p).convert("RGB") for p in paths]])[0]
+    ref = torch.stack(ref_frames).numpy()  # (t, 3, h, w)
+
+    ds = ClipDataset([(tuple(paths), 0, 0)], seq_len=4, sample="rrs_test",
+                     height=h, width=w)
+    clips_u8 = ds.get(0)[0]  # (t, h, w, 3) uint8 — decoded + resized
+    got = np.transpose(np.asarray(normalize(clips_u8)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Metrics: engine/metrics.py vs the reference's own eva_functions.py
 # ---------------------------------------------------------------------------
