@@ -316,6 +316,36 @@ def test_eval_descriptor_matches_reference_recipe():
     np.testing.assert_allclose(got, want.numpy(), atol=5e-5)
 
 
+@pytest.mark.slow
+def test_reference_checkpoint_import_roundtrip():
+    """The FORWARD converter against a real reference checkpoint: a
+    literal ResNet50_GRL_Model's state_dict (with the DataParallel
+    'module.' prefixes the reference's save_cnn_checkpoint produces,
+    mars_train.py:80 + serialization.py:25-43) loads into grl_tpu via
+    load_grl_checkpoint, and both models then produce identical eval
+    outputs. Together with the reverse-converter tests above, both
+    conversion directions are proven on real reference structure."""
+    from grl_tpu.utils.convert_torch import load_grl_checkpoint
+
+    ref = load_reference_models()
+    torch.manual_seed(0)
+    m_ref = ref.grl_model.ResNet50_GRL_Model(pretrained=False, numclasses=0).eval()
+    flat = {f"module.{k}": v.numpy() for k, v in m_ref.state_dict().items()}
+
+    model = models.GRLModel()
+    params, state = model.init(jax.random.PRNGKey(9))
+    params, state = load_grl_checkpoint(np_tree(params), np_tree(state), flat)
+
+    clips = np.random.RandomState(3).rand(2, 2, 256, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_u, ref_c = m_ref(
+            torch.from_numpy(np.transpose(clips, (0, 1, 4, 2, 3)).copy())
+        )
+    (ju, jc), _ = model.apply(params, state, clips, training=False)
+    np.testing.assert_allclose(np.asarray(ju), ref_u.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jc), ref_c.numpy(), atol=2e-5, rtol=1e-4)
+
+
 def test_eval_transform_chain_matches_reference(tmp_path):
     """The eval input chain end to end vs the literal reference transforms:
     JPEG file -> decode -> RectScale resize -> ToTensor -> Normalize
