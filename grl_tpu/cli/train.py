@@ -307,6 +307,9 @@ def main(args):
     # writing the same 449 MB to one shared-filesystem path would be N x
     # the traffic for identical bytes). Every host still takes the same
     # epoch-loop branches (best_top1 is computed identically everywhere).
+    # Assumption (standard pod setup): --logs-dir is a SHARED filesystem,
+    # so --resume finds process 0's checkpoint on every host; with
+    # host-local disks, distribute the checkpoint before resuming.
     is_writer = jax.process_index() == 0
     if not is_writer:
         class _NoopCheckpointer:
