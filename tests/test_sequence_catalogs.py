@@ -254,6 +254,33 @@ def test_prepare_prid2011_builds_canonical_layout(tmp_path):
     assert len(ds.trainval) > 0
 
 
+def test_prid_cli_end_to_end(tmp_path):
+    """'-d prid2011sequence' through the full train CLI over a prepared
+    raw layout — the PRID counterpart of the iLIDS e2e above (same
+    Datasequence machinery, different raw layout + random splits)."""
+    import sys
+
+    from grl_tpu.cli.train import build_parser, main
+    from grl_tpu.data.catalogs import prepare_prid2011
+
+    root = make_raw_prid(tmp_path, num_ids=4, frames=10)
+    prepare_prid2011(root, num_splits=2, seed=0)
+
+    logs = tmp_path / "prid_run"
+    args = build_parser().parse_args([
+        "-d", "prid2011sequence", "--data-dir", root, "--tiny", "-b", "4",
+        "--seq_len", "2", "--seq_srd", "2", "-j", "2",
+        "--logs-dir", str(logs), "--epochs", "1", "--split", "1",
+    ])
+    stdout = sys.stdout
+    try:
+        top1 = main(args)
+    finally:
+        sys.stdout = stdout
+    assert 0.0 <= top1 <= 1.0
+    assert (logs / "checkpoint.npz").exists()
+
+
 def test_prepare_from_tarball(tmp_path):
     """The raw tree can also arrive as a tarball under raw/."""
     import shutil as sh

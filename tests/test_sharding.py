@@ -409,6 +409,14 @@ def test_stripe_catalog_covers_and_pads():
     # degenerate single process: pad only up to device divisibility
     local, n, k1 = stripe_catalog(items, 0, 1, local_devices=2)
     assert n == 10 and local[:10] == items
+    # more processes than items: trailing stripes are all-pad but every
+    # process still holds k rows (required for even device sharding)
+    few = items[:3]
+    stripes = [stripe_catalog(few, i, 8, local_devices=2) for i in range(8)]
+    k = stripes[0][2]
+    flat = [t for s in stripes for t in s[0]]
+    assert flat[:3] == few and all(t == few[-1] for t in flat[3:])
+    assert all(len(s[0]) == k for s in stripes)
 
 
 def test_multihost_striped_evaluate_degenerate_matches():
