@@ -235,6 +235,34 @@ def jaccard_oracle(qg, qq, gg, k1, k2, lam):
     return final[:, nq:]
 
 
+def test_staged_rerank_cache_is_bounded():
+    """A session whose gallery size keeps changing must not accumulate
+    unbounded six-stage compiled programs (each n^2-scale): the staged
+    cache is a small LRU, and re-using a size must not recompile."""
+    import jax.numpy as jnp
+
+    from grl_tpu.engine import rerank as R
+
+    R._STAGED_CACHE.clear()
+
+    def run(n):
+        rng = np.random.RandomState(n)
+        feats = rng.randn(n, 8).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        d = -feats @ feats.T
+        q = n // 3
+        R._build_v_staged(
+            jnp.asarray(d[:q, q:]), jnp.asarray(d[:q, :q]), jnp.asarray(d[q:, q:]),
+            k1=4, k2=2,
+        )
+
+    for n in (12, 18, 24, 12):
+        run(n)
+    assert len(R._STAGED_CACHE) <= R._STAGED_CACHE_MAX
+    # most-recently-used size (12, re-run last) is retained
+    assert any(key[0] == 12 for key in R._STAGED_CACHE)
+
+
 def test_re_ranking_matches_oracle():
     rng = np.random.RandomState(11)
     feats = rng.randn(18, 8).astype(np.float32)
