@@ -318,16 +318,14 @@ class Evaluator:
                 # distance inputs themselves are donated).
                 from .rerank import re_ranking_device
 
-                qq = _euclidean(qf_d, qf_d)
-                gg = _euclidean(gf_d, gf_d)
+                box = [distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d)]
                 del qf_d, gf_d
-                qf = gf = None
+                qf = gf = distmat = None  # boxed refs are the only ones left
                 distmat = re_ranking_device(
-                    distmat, qq, gg,
+                    inputs_box=box,
                     k1=self.rerank_k1, k2=self.rerank_k2,
                     lambda_value=self.rerank_lambda, mesh=self.mesh,
                 )
-                del qq, gg
             else:
                 if multihost is not None:
                     raise ValueError(
@@ -379,6 +377,7 @@ class Evaluator:
         return float(cmc_curve[0])
 
 
+@jax.jit
 def _euclidean(a, b):
     """Pairwise euclidean for the re-ranking inputs.
 
@@ -386,7 +385,9 @@ def _euclidean(a, b):
     eps INSIDE the sqrt to mirror the reference's TripletLoss.cdist
     (torch-oracle-pinned), while this clamps the squared distance — the
     form the device/numpy re-ranking equivalence tests pin to 3e-7.
-    Keep the two parities separate."""
+    Keep the two parities separate. Module-level jit: eagerly this chain
+    materializes several unfused n^2 temporaries (4.4 GB EACH at LS-VID's
+    33k gallery); fused, the peak is the output plus one dot temp."""
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     sq = (

@@ -44,8 +44,8 @@ def warn_if_degenerate(n_total, k1=20, k2=6):
 
 
 def re_ranking_device(
-    q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3, interpret=False,
-    mesh=None, staged=None,
+    q_g_dist=None, q_q_dist=None, g_g_dist=None, k1=20, k2=6, lambda_value=0.3,
+    interpret=False, mesh=None, staged=None, inputs_box=None,
 ):
     """k-reciprocal re-ranking on the TPU.
 
@@ -65,11 +65,23 @@ def re_ranking_device(
     the mesh (see _build_v_staged), taking per-chip peak memory from n^2
     to ~n^2/n_devices. ``staged`` forces the staged builder on/off (None =
     auto by problem size).
+
+    ``inputs_box``: an optional LIST ``[q_g, q_q, g_g]`` passed INSTEAD of
+    the three positional matrices; it is emptied immediately. At the HBM
+    cliff this matters: XLA cannot alias the donated inputs into s1's
+    concatenated output (different shapes — donation is advisory and
+    reports "not usable"), so the ~5 GB of distance matrices only free
+    once EVERY python frame drops its references. A caller that passes
+    them positionally keeps them alive in its own frame for the whole
+    call; boxing is how it actually relinquishes them.
     """
     import jax.numpy as jnp
 
     from ..ops import minplus_matmul
 
+    if inputs_box is not None:
+        q_g_dist, q_q_dist, g_g_dist = inputs_box
+        inputs_box.clear()
     query_num = q_g_dist.shape[0]
     gallery_num = g_g_dist.shape[0]
     n_total = query_num + gallery_num
@@ -78,13 +90,11 @@ def re_ranking_device(
     if staged:
         # LS-VID scale: the one-jit builder holds ~6 n^2 fp32 buffers live
         # (26 GB at n=33k vs 15.75 GB HBM); the staged builder frees each
-        # stage's temporaries and CONSUMES (donates) the input distance
-        # matrices — device-array callers must not reuse them afterwards.
-        v, original_q = _build_v_staged(
-            jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist),
-            k1=k1, k2=k2, mesh=mesh,
-        )
+        # stage's temporaries and consumes the boxed input distance
+        # matrices (they are dead after s1).
+        box = [jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist)]
         q_g_dist = q_q_dist = g_g_dist = None
+        v, original_q = _build_v_staged(box, k1=k1, k2=k2, mesh=mesh)
     else:
         if (k1, k2) not in _BUILD_V_CACHE:
             _BUILD_V_CACHE[(k1, k2)] = _make_build_v(k1, k2)
@@ -95,7 +105,27 @@ def re_ranking_device(
         )
         original_q = original[:query_num]
     if mesh is None:
-        min_sum = minplus_matmul(v[:query_num], v, interpret=interpret)
+        if staged and n_total > _MINPLUS_CHUNK:
+            # HBM-cliff scale: minplus_matmul pads AND transposes its B
+            # operand, materializing a second full n^2 fp32 copy next to v
+            # (2 x 5.2 GB at LS-VID scale — measured OOM after the staged
+            # stages). Chunk B's rows at host level: each call transposes
+            # only an (n, chunk) slab, and the per-call sync keeps the
+            # async queue from stacking slab temporaries.
+            import jax
+
+            vq = jnp.array(v[:query_num])
+            n = v.shape[0]
+            blocks = []
+            for s0 in range(0, n, _MINPLUS_CHUNK):
+                blk = minplus_matmul(vq, v[s0 : s0 + _MINPLUS_CHUNK], interpret=interpret)
+                jax.device_get(blk[0, 0])
+                blocks.append(blk)
+            min_sum = jnp.concatenate(blocks, axis=1)
+            del blocks, vq
+        else:
+            min_sum = minplus_matmul(v[:query_num], v, interpret=interpret)
+        v = None  # dead past the min-sum; free the n^2 buffer
     else:
         import jax
         from jax.sharding import PartitionSpec as P
@@ -120,9 +150,12 @@ def re_ranking_device(
 
 
 _BUILD_V_CACHE = {}
+# B-row slab width for the chunked LS-VID min-plus (module constant so
+# tests can shrink it to force the chunked path at toy sizes)
+_MINPLUS_CHUNK = 8192
 
 
-def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
+def _build_v_staged(box, k1=20, k2=6, mesh=None):
     """Memory-lean membership-weight builder for galleries too large for
     the single-jit version: the program is split into stages so XLA frees
     each stage's n^2 temporaries before the next allocates, the set
@@ -145,11 +178,16 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
     membership weight for real items and are sliced off by the caller.
 
     Exact same math as _make_build_v; returns (v, original[:q]) where v
-    may carry padded trailing rows/columns under ``mesh``.
+    may carry padded trailing rows/columns under ``mesh``. ``box`` is a
+    LIST ``[q_g, q_q, g_g]`` emptied on entry: s1's donation cannot alias
+    the concat output, so the matrices only free after s1 if no frame
+    still references them (see re_ranking_device's inputs_box).
     """
     import jax
     import jax.numpy as jnp
 
+    q_g, q_q, g_g = box
+    box.clear()
     q = q_g.shape[0]
     n0 = q + g_g.shape[0]
     if mesh is not None:
@@ -189,7 +227,7 @@ def _build_v_staged(q_g, q_q, g_g, k1=20, k2=6, mesh=None):
         return x
 
     original = sync(st["s1_original"](q_g, q_q, g_g))
-    del q_g, q_q, g_g  # donated into s1
+    del q_g, q_q, g_g  # last references anywhere (boxed) -> buffers free
     half = int(np.around(k1 / 2.0)) + 1
     idx_k1 = sync(st["s2_topk"](original, k=k1 + 1))
     idx_half = sync(st["s2_topk"](original, k=half))
@@ -226,7 +264,10 @@ def _make_staged_stages(n0, n_pad, mesh):
         shard_kw = {}
     pad = n_pad - n0
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2), **shard_kw)
+    # no donate_argnums: XLA cannot alias three differently-shaped inputs
+    # into the concatenated output (it just warns "not usable"); the
+    # buffers free because the boxed caller dropped every reference
+    @functools.partial(jax.jit, **shard_kw)
     def s1_original(q_g, q_q, g_g):
         original = jnp.concatenate(
             [
@@ -254,42 +295,82 @@ def _make_staged_stages(n0, n_pad, mesh):
     @functools.partial(jax.jit, **shard_kw)
     def s3a_reciprocal(idx):
         # bf16 0/1 adjacency straight from indices, AND'd with its
-        # transpose (under a mesh: A row-sharded, Aᵀ re-sharded by an XLA
-        # all-to-all, product row-sharded)
+        # transpose. The AND runs block-wise over output rows: a
+        # whole-matrix `a * a.T` materializes a full n^2 transpose temp
+        # next to `a` and the output (3 x n^2 bf16 — with the fp32
+        # distance matrix still live this is what tipped the LS-VID
+        # n=36000 run over the v5e HBM cliff); per block only an (r, n)
+        # row slice and an (n, r) column slice are live. Overlapping-tail
+        # blocks recompute identical values. Under a mesh the slices ride
+        # GSPMD (the column slice is the all-to-all-ish step).
         n = idx.shape[0]
         rows = jnp.arange(n)[:, None]
         a = jnp.zeros((n, n), jnp.bfloat16).at[rows, idx].set(1.0)
-        return a * a.T
+        r = min(4096, n)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1), **shard_kw)
+        def body(bi, out):
+            start = jnp.minimum(bi * r, n - r)
+            a_rows = jax.lax.dynamic_slice(a, (start, 0), (r, n))
+            a_cols = jax.lax.dynamic_slice(a, (0, start), (n, r))
+            return jax.lax.dynamic_update_slice(out, a_rows * a_cols.T, (start, 0))
+
+        return jax.lax.fori_loop(0, -(-n // r), body, jnp.zeros_like(a))
+
+    @functools.partial(jax.jit, **shard_kw)
     def s3b_expansion(r, b):
         # all counts are integers ≤ k1+1: exact in bf16 end-to-end. The
         # 2/3·|B| threshold is never an eps away from an integer, so the
-        # bf16 compare is exact too.
+        # bf16 compare is exact too. Block-wise over output rows for the
+        # same HBM-cliff reason as s3a: the whole-matrix form held the
+        # overlap/qualifies/expanded n^2 temps concurrently with r and b.
+        # No donation: r and b are read until the final block.
+        n = r.shape[0]
         b_sizes = jnp.sum(b, axis=1, dtype=jnp.float32)
-        overlap = jnp.dot(r, b.T, preferred_element_type=jnp.bfloat16)
         thresh = ((2.0 / 3.0) * b_sizes).astype(jnp.bfloat16)
-        qualifies = r * (overlap > thresh[None, :]).astype(jnp.bfloat16)
-        expanded = jnp.dot(qualifies, b, preferred_element_type=jnp.bfloat16)
-        return (r > 0) | (expanded > 0)
+        rr = min(4096, n)
+
+        def body(bi, out):
+            start = jnp.minimum(bi * rr, n - rr)
+            rb = jax.lax.dynamic_slice(r, (start, 0), (rr, n))
+            overlap = jnp.dot(rb, b.T, preferred_element_type=jnp.bfloat16)
+            qual = rb * (overlap > thresh[None, :]).astype(jnp.bfloat16)
+            expanded = jnp.dot(qual, b, preferred_element_type=jnp.bfloat16)
+            blk = (rb > 0) | (expanded > 0)
+            return jax.lax.dynamic_update_slice(out, blk, (start, 0))
+
+        return jax.lax.fori_loop(0, -(-n // rr), body, jnp.zeros((n, n), bool))
 
     @functools.partial(jax.jit, donate_argnums=(0,), **shard_kw)
     def s4_v(original, expansion):
         weights = jnp.exp(-original) * expansion
         return weights / jnp.sum(weights, axis=1, keepdims=True)
 
-    @functools.partial(jax.jit, donate_argnums=(0,), **shard_kw)
+    @functools.partial(jax.jit, **shard_kw)
     def s5_qexpand(v, idx2):
-        # fori_loop, NOT an unrolled python loop: unrolled, XLA keeps all
-        # k2 full-size gather results live at once (k2 x n^2 fp32 — the
-        # 26 GB OOM at LS-VID scale); the loop holds exactly one.
+        # Block-wise over output rows: the earlier whole-matrix form kept
+        # v + the accumulator + one full-size gather result live at once
+        # (3 x n^2 fp32 = 15.5 GB at LS-VID's n=36000 — measured OOM at
+        # the v5e HBM cliff). Per block only an (R, n) gather/accumulator
+        # pair is live next to v and the output (2 x n^2 + small). The
+        # tail block re-starts at n-R, recomputing a few overlapping rows
+        # with identical values (the standard overlapping-tail trick —
+        # avoids a ragged last block). No donation: v is read until the
+        # final block, so aliasing it into the output is impossible.
         kk = idx2.shape[1]
+        n = v.shape[0]
+        r = min(4096, n)
 
-        def body(j, acc):
-            return acc + v[idx2[:, j]]
+        def body(b, out):
+            start = jnp.minimum(b * r, n - r)
+            rows = jax.lax.dynamic_slice(idx2, (start, 0), (r, kk))
 
-        acc = jax.lax.fori_loop(1, kk, body, v[idx2[:, 0]])
-        return acc / kk
+            def inner(j, acc):
+                return acc + v[rows[:, j]]
+
+            acc = jax.lax.fori_loop(1, kk, inner, v[rows[:, 0]])
+            return jax.lax.dynamic_update_slice(out, acc / kk, (start, 0))
+
+        return jax.lax.fori_loop(0, -(-n // r), body, jnp.zeros_like(v))
 
     return {
         "s1_original": s1_original,

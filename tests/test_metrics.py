@@ -252,7 +252,7 @@ def test_staged_rerank_cache_is_bounded():
         d = -feats @ feats.T
         q = n // 3
         R._build_v_staged(
-            jnp.asarray(d[:q, q:]), jnp.asarray(d[:q, :q]), jnp.asarray(d[q:, q:]),
+            [jnp.asarray(d[:q, q:]), jnp.asarray(d[:q, :q]), jnp.asarray(d[q:, q:])],
             k1=4, k2=2,
         )
 
@@ -261,6 +261,32 @@ def test_staged_rerank_cache_is_bounded():
     assert len(R._STAGED_CACHE) <= R._STAGED_CACHE_MAX
     # most-recently-used size (12, re-run last) is retained
     assert any(key[0] == 12 for key in R._STAGED_CACHE)
+
+
+def test_chunked_minplus_path_matches_whole_matrix(monkeypatch):
+    """The LS-VID chunked min-plus (B processed in row slabs to avoid a
+    second full n^2 transposed copy) must equal the whole-matrix path."""
+    import jax.numpy as jnp
+
+    from grl_tpu.engine import rerank as R
+
+    rng = np.random.RandomState(3)
+    nq, ng = 10, 40
+    feats = rng.randn(nq + ng, 8).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = np.sqrt(np.maximum(2 - 2 * (feats @ feats.T), 1e-12)).astype(np.float32)
+    args = (d[:nq, nq:], d[:nq, :nq], d[nq:, nq:])
+
+    ref = np.asarray(
+        R.re_ranking_device(*map(jnp.asarray, args), k1=5, k2=3,
+                            interpret=True, staged=True)
+    )
+    monkeypatch.setattr(R, "_MINPLUS_CHUNK", 16)  # force chunking at toy n
+    got = np.asarray(
+        R.re_ranking_device(*map(jnp.asarray, args), k1=5, k2=3,
+                            interpret=True, staged=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
 def test_re_ranking_matches_oracle():

@@ -77,7 +77,7 @@ def test_staged_build_v_matches_single_jit():
 
     qg, qq, gg = _synthetic_dists(25, 90)
     v_ref, orig = rr._make_build_v(20, 6)(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
-    v_st, orig_q = rr._build_v_staged(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
+    v_st, orig_q = rr._build_v_staged([jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg)])
     np.testing.assert_allclose(np.asarray(v_st), np.asarray(v_ref), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(orig_q), np.asarray(orig)[:25], rtol=1e-6)
 
@@ -101,10 +101,10 @@ def test_staged_builder_caches_stage_programs():
 
     qg, qq, gg = _synthetic_dists(25, 90)
     rr._STAGED_CACHE.clear()
-    v1, _ = rr._build_v_staged(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
+    v1, _ = rr._build_v_staged([jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg)])
     assert len(rr._STAGED_CACHE) == 1
     stages = next(iter(rr._STAGED_CACHE.values()))
-    v2, _ = rr._build_v_staged(jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg))
+    v2, _ = rr._build_v_staged([jnp.asarray(qg), jnp.asarray(qq), jnp.asarray(gg)])
     assert len(rr._STAGED_CACHE) == 1
     assert next(iter(rr._STAGED_CACHE.values())) is stages  # same jitted fns
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)

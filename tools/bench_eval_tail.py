@@ -27,6 +27,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsvid", action="store_true", help="3000x33000 instead of MARS 1980x11310")
     ap.add_argument("--rerank", action="store_true")
+    ap.add_argument("--from-host", action="store_true",
+                    help="rerank variant: upload precomputed distance blocks "
+                         "instead of computing them from device features — "
+                         "the round-2 LS-VID measurement shape, and the one "
+                         "that avoids on-chip distance-temp fragmentation")
     ap.add_argument("--dim", type=int, default=6144)
     args = ap.parse_args()
 
@@ -42,8 +47,68 @@ def main():
     q_cams = rng.randint(0, 6, q)
     g_cams = np.concatenate([q_cams, rng.randint(0, 6, g)])
 
+    label = "LS-VID" if args.lsvid else "MARS"
+
+    if args.rerank and args.from_host:
+        # distance blocks computed on host, uploaded, re-ranked on device
+        # (the measurement shape behind the round-2 LS-VID figure): the
+        # device heap starts clean, so the staged builder's peaks are the
+        # only allocations — no fragmentation from feature/distance temps.
+        # Rerank cost is dim-independent; cap dim so the HOST n^2 matmuls
+        # don't dominate the tool's wall clock on one core.
+        if args.dim > 64:
+            d64 = 64
+            qf = qf[:, :d64] / np.linalg.norm(qf[:, :d64], axis=1, keepdims=True)
+            gf = gf[:, :d64] / np.linalg.norm(gf[:, :d64], axis=1, keepdims=True)
+        qq_h = np.sqrt(np.maximum(2.0 - 2.0 * (qf @ qf.T), 1e-12))
+        qg_h = np.sqrt(np.maximum(2.0 - 2.0 * (qf @ gf.T), 1e-12))
+        gg_h = np.sqrt(np.maximum(2.0 - 2.0 * (gf @ gf.T), 1e-12))
+        cosd = -(qf @ gf.T)
+        t0 = time.perf_counter()
+        box = [jnp.asarray(qg_h), jnp.asarray(qq_h), jnp.asarray(gg_h)]
+        dist = re_ranking_device(inputs_box=box)
+        cmc, mAP = metrics.evaluate_device(dist, q_pids, g_pids, q_cams, g_cams)
+        dt = time.perf_counter() - t0
+        cos_rank1 = float(
+            metrics.evaluate(cosd, q_pids, g_pids, q_cams, g_cams)[0][0]
+        )
+        print(
+            f"{label} rerank from host arrays ({q}x{q + g}), COLD incl. "
+            f"upload: {dt:.2f}s  (rank1={cmc[0]:.3f} vs cosine {cos_rank1:.3f} "
+            f"mAP={mAP:.3f})"
+        )
+        return
+
     qf_d, gf_d = jnp.asarray(qf), jnp.asarray(gf)
     float(jnp.sum(qf_d)), float(jnp.sum(gf_d))  # finish the upload
+
+    if args.rerank and args.lsvid:
+        # the LS-VID staged re-ranking runs AT the single-chip HBM
+        # capacity cliff: the ~830 MB of fp32 features must be dropped
+        # before the n^2 stages (exactly the Evaluator's discipline,
+        # engine/evaluator.py), and keeping them alive for a second warm
+        # pass OOMs. Report one cold run (compile included) — warm timing
+        # at this scale needs the mesh headroom path.
+        t0 = time.perf_counter()
+        dist = cosine_distance(qf_d, gf_d)
+        qq = _euclidean(qf_d, qf_d)
+        gg = _euclidean(gf_d, gf_d)
+        del qf_d, gf_d
+        # serialize the dispatch queue before the staged builder: on this
+        # backend block_until_ready is not a barrier, and the queued
+        # distance temporaries would otherwise stay live INTO the n^2
+        # stages (host materialization is the only true sync)
+        jax.device_get(gg[0, 0]), jax.device_get(dist[0, 0]), jax.device_get(qq[0, 0])
+        box = [dist, qq, gg]
+        dist = qq = gg = None  # boxed refs are the only ones left
+        dist = re_ranking_device(inputs_box=box)
+        cmc, mAP = metrics.evaluate_device(dist, q_pids, g_pids, q_cams, g_cams)
+        dt = time.perf_counter() - t0
+        print(
+            f"{label} eval tail ({q}x{q + g}) +rerank, single COLD run at the "
+            f"HBM cliff: {dt:.2f}s  (rank1={cmc[0]:.3f} mAP={mAP:.3f})"
+        )
+        return
 
     def tail():
         dist = cosine_distance(qf_d, gf_d)
@@ -55,7 +120,6 @@ def main():
     t0 = time.perf_counter()
     cmc, mAP = tail()
     dt = time.perf_counter() - t0
-    label = "LS-VID" if args.lsvid else "MARS"
     print(
         f"{label} eval tail ({q}x{q + g}){' +rerank' if args.rerank else ''}: "
         f"{dt:.2f}s = {q / dt:.0f} queries/s  (rank1={cmc[0]:.3f} mAP={mAP:.3f})"
