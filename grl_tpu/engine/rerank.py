@@ -246,6 +246,12 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None):
 
 _STAGED_CACHE = {}  # insertion-ordered; most-recent last
 _STAGED_CACHE_MAX = 2
+# Output-row block width for the block-wise staged stages (s3a/s3b/s5).
+# Module constant so tests can shrink it and exercise the multi-block +
+# overlapping-tail paths at toy sizes (on real problems only n > 4096
+# takes them); read at stage-BUILD time, so clear _STAGED_CACHE after
+# changing it.
+_STAGE_BLOCK = 4096
 
 
 def _make_staged_stages(n0, n_pad, mesh):
@@ -306,7 +312,7 @@ def _make_staged_stages(n0, n_pad, mesh):
         n = idx.shape[0]
         rows = jnp.arange(n)[:, None]
         a = jnp.zeros((n, n), jnp.bfloat16).at[rows, idx].set(1.0)
-        r = min(4096, n)
+        r = min(_STAGE_BLOCK, n)
 
         def body(bi, out):
             start = jnp.minimum(bi * r, n - r)
@@ -327,7 +333,7 @@ def _make_staged_stages(n0, n_pad, mesh):
         n = r.shape[0]
         b_sizes = jnp.sum(b, axis=1, dtype=jnp.float32)
         thresh = ((2.0 / 3.0) * b_sizes).astype(jnp.bfloat16)
-        rr = min(4096, n)
+        rr = min(_STAGE_BLOCK, n)
 
         def body(bi, out):
             start = jnp.minimum(bi * rr, n - rr)
@@ -358,7 +364,7 @@ def _make_staged_stages(n0, n_pad, mesh):
         # final block, so aliasing it into the output is impossible.
         kk = idx2.shape[1]
         n = v.shape[0]
-        r = min(4096, n)
+        r = min(_STAGE_BLOCK, n)
 
         def body(b, out):
             start = jnp.minimum(b * r, n - r)

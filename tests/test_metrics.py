@@ -289,6 +289,34 @@ def test_chunked_minplus_path_matches_whole_matrix(monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
+def test_blockwise_staged_stages_match_at_multiblock_sizes(monkeypatch):
+    """s3a/s3b/s5 run block-wise over output rows (HBM-cliff shape). On
+    real problems multiple blocks only occur at n > 4096; shrink
+    _STAGE_BLOCK so the multi-block + overlapping-tail paths execute at
+    toy n and must equal the whole-matrix single-jit builder."""
+    import jax.numpy as jnp
+
+    from grl_tpu.engine import rerank as R
+
+    rng = np.random.RandomState(7)
+    nq, ng = 23, 82  # n=105: not a multiple of the 16-row block -> overlap
+    feats = rng.randn(nq + ng, 8).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = np.sqrt(np.maximum(2 - 2 * (feats @ feats.T), 1e-12)).astype(np.float32)
+    args = [jnp.asarray(d[:nq, nq:]), jnp.asarray(d[:nq, :nq]), jnp.asarray(d[nq:, nq:])]
+
+    v_ref, orig_ref = R._make_build_v(20, 6)(*args)
+
+    monkeypatch.setattr(R, "_STAGE_BLOCK", 16)
+    R._STAGED_CACHE.clear()  # stages close over the block width at build time
+    try:
+        v_blk, orig_blk = R._build_v_staged(list(args))
+    finally:
+        R._STAGED_CACHE.clear()  # don't leave 16-row-block programs cached
+    np.testing.assert_allclose(np.asarray(v_blk), np.asarray(v_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(orig_blk), np.asarray(orig_ref)[:nq], rtol=1e-6)
+
+
 def test_re_ranking_matches_oracle():
     rng = np.random.RandomState(11)
     feats = rng.randn(18, 8).astype(np.float32)

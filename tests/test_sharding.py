@@ -158,11 +158,14 @@ def test_sharded_device_rerank_matches_numpy():
     np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_staged_rerank_set_algebra_sharded_matches_numpy():
+def test_staged_rerank_set_algebra_sharded_matches_numpy(monkeypatch):
     """The LS-VID staged builder with its set algebra row-sharded over the
     mesh (adjacency, reciprocal AND-transpose, expansion matmuls, V) must
     reproduce host numpy exactly — including the phantom-item padding that
-    makes n divisible by the mesh (n = 105 -> pad 7)."""
+    makes n divisible by the mesh (n = 105 -> pad 7) AND the block-wise
+    stage loops running multiple 16-row blocks under GSPMD (on real
+    problems only n > 4096 takes the multi-block path)."""
+    from grl_tpu.engine import rerank as R
     from grl_tpu.engine.rerank import re_ranking, re_ranking_device
 
     rng = np.random.RandomState(11)
@@ -173,9 +176,14 @@ def test_staged_rerank_set_algebra_sharded_matches_numpy():
     qg, qq, gg = d[:q, q:], d[:q, :q], d[q:, q:]
     mesh = data_mesh(8)
     ref = re_ranking(qg, qq, gg)
-    dev = np.asarray(
-        re_ranking_device(qg, qq, gg, interpret=True, mesh=mesh, staged=True)
-    )
+    monkeypatch.setattr(R, "_STAGE_BLOCK", 16)
+    R._STAGED_CACHE.clear()  # stages close over the block width at build time
+    try:
+        dev = np.asarray(
+            re_ranking_device(qg, qq, gg, interpret=True, mesh=mesh, staged=True)
+        )
+    finally:
+        R._STAGED_CACHE.clear()
     assert dev.shape == ref.shape
     np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
 
