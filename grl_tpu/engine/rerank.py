@@ -92,8 +92,19 @@ def re_ranking_device(
         # (26 GB at n=33k vs 15.75 GB HBM); the staged builder frees each
         # stage's temporaries and consumes the boxed input distance
         # matrices (they are dead after s1).
+        import jax
+
         box = [jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist)]
         q_g_dist = q_q_dist = g_g_dist = None
+        # serialize the dispatch queue before the n^2 stages: on the axon
+        # backend block_until_ready is NOT a barrier, so a caller's queued
+        # distance-computation temporaries (euclidean/cosine dot temps)
+        # would otherwise stay live INTO s1's allocation — host
+        # materialization is the only true sync. Done here so EVERY
+        # staged caller (Evaluator, cli/extract, tools) gets the
+        # discipline, not just hand-instrumented benches.
+        for m in box:
+            jax.device_get(m[0, 0])
         v, original_q = _build_v_staged(box, k1=k1, k2=k2, mesh=mesh)
     else:
         if (k1, k2) not in _BUILD_V_CACHE:
@@ -114,7 +125,10 @@ def re_ranking_device(
             # async queue from stacking slab temporaries.
             import jax
 
-            vq = jnp.array(v[:query_num])
+            # NB: a slice is already a fresh device buffer in JAX — no
+            # jnp.array copy on top (that transient (q, n) double-alloc
+            # matters at the cliff)
+            vq = v[:query_num]
             n = v.shape[0]
             blocks = []
             for s0 in range(0, n, _MINPLUS_CHUNK):
