@@ -105,7 +105,19 @@ def re_ranking_device(
         # discipline, not just hand-instrumented benches.
         for m in box:
             jax.device_get(m[0, 0])
-        v, original_q = _build_v_staged(box, k1=k1, k2=k2, mesh=mesh)
+        # on the single-chip chunked-minplus path the final query-expansion
+        # stage (s5) is DEFERRED into the min-plus slab loop below: s5's
+        # whole-matrix form holds v AND expanded-v concurrently (2 full n^2
+        # fp32 buffers — the last remaining >11 GB peak at LS-VID n=36000,
+        # observed OOMing on sessions with a reduced usable-HBM ceiling)
+        defer = mesh is None and n_total > _MINPLUS_CHUNK
+        if defer:
+            v, original_q, qexpand_idx = _build_v_staged(
+                box, k1=k1, k2=k2, mesh=mesh, defer_qexpand=True
+            )
+        else:
+            v, original_q = _build_v_staged(box, k1=k1, k2=k2, mesh=mesh)
+            qexpand_idx = None
     else:
         if (k1, k2) not in _BUILD_V_CACHE:
             _BUILD_V_CACHE[(k1, k2)] = _make_build_v(k1, k2)
@@ -125,14 +137,25 @@ def re_ranking_device(
             # async queue from stacking slab temporaries.
             import jax
 
-            # NB: a slice is already a fresh device buffer in JAX — no
-            # jnp.array copy on top (that transient (q, n) double-alloc
-            # matters at the cliff)
-            vq = v[:query_num]
             n = v.shape[0]
+            if qexpand_idx is not None:
+                # deferred s5: expanded rows are generated per slab from v
+                # and consumed immediately by the kernel — the full
+                # expanded-v matrix never materializes next to v
+                vq = _qexpand_rows(v, qexpand_idx[:query_num])
+            else:
+                # NB: a slice is already a fresh device buffer in JAX — no
+                # jnp.array copy on top (that transient (q, n) double-alloc
+                # matters at the cliff)
+                vq = v[:query_num]
             blocks = []
             for s0 in range(0, n, _MINPLUS_CHUNK):
-                blk = minplus_matmul(vq, v[s0 : s0 + _MINPLUS_CHUNK], interpret=interpret)
+                if qexpand_idx is not None:
+                    slab = _qexpand_rows(v, qexpand_idx[s0 : s0 + _MINPLUS_CHUNK])
+                else:
+                    slab = v[s0 : s0 + _MINPLUS_CHUNK]
+                blk = minplus_matmul(vq, slab, interpret=interpret)
+                del slab
                 jax.device_get(blk[0, 0])
                 blocks.append(blk)
             min_sum = jnp.concatenate(blocks, axis=1)
@@ -169,13 +192,22 @@ _BUILD_V_CACHE = {}
 _MINPLUS_CHUNK = 8192
 
 
-def _build_v_staged(box, k1=20, k2=6, mesh=None):
+def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False):
     """Memory-lean membership-weight builder for galleries too large for
     the single-jit version: the program is split into stages so XLA frees
-    each stage's n^2 temporaries before the next allocates, the set
-    algebra runs from tiny top-k INDEX matrices (never alongside the
-    distance matrix), counts ride bf16 matmuls (integers ≤ k1+1 are exact
-    in bf16), and the distance buffer is donated into the weight buffer.
+    each stage's n^2 temporaries before the next allocates, s1 assembles
+    the (negated) normalized distance matrix block-wise straight from the
+    three inputs (no full concat temp; the negation saves the top-k calls
+    their own n^2 copies), the set algebra runs from tiny top-k INDEX
+    matrices into BOOL adjacency (1 byte), expansion counts ride
+    slab-blocked bf16 matmuls (integers ≤ k1+1 are exact in bf16), and
+    the distance buffer is donated into the weight buffer. With
+    ``defer_qexpand`` the worst stage holds ONE full n^2 fp32 buffer plus
+    slabs (~11 GB at LS-VID n=36000) — the earlier whole-matrix stages
+    sat exactly at the 15.75 GB v5e cliff, which made fitting
+    session-dependent (BFC fragmentation and the session's usable-HBM
+    ceiling decided; axon sessions were observed with only ~11.5 GB
+    usable).
 
     With ``mesh``, every n^2 stage buffer is ROW-SHARDED over the mesh
     (GSPMD: ``out_shardings=P(axis, None)``); XLA inserts the all-to-all
@@ -196,6 +228,12 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None):
     LIST ``[q_g, q_q, g_g]`` emptied on entry: s1's donation cannot alias
     the concat output, so the matrices only free after s1 if no frame
     still references them (see re_ranking_device's inputs_box).
+
+    ``defer_qexpand``: skip the final query-expansion stage (s5, the one
+    remaining 2-full-fp32-buffer peak) and return ``(v, original[:q],
+    idx_2)`` so the caller can expand rows lazily (``_qexpand_rows``)
+    inside its min-plus slab loop; ``idx_2`` is None when ``k2 == 1``
+    (no expansion — use v rows directly).
     """
     import jax
     import jax.numpy as jnp
@@ -240,22 +278,56 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None):
         jax.device_get(x[(0,) * x.ndim])
         return x
 
-    original = sync(st["s1_original"](q_g, q_q, g_g))
+    # s1 produces the NEGATED normalized matrix (see _make_staged_stages):
+    # top-k then selects largest-of-neg (= smallest distance) with no full
+    # n^2 negation temp, and s4's exp(-original) is exp(neg) directly.
+    neg = sync(st["s1_original"](q_g, q_q, g_g))
     del q_g, q_q, g_g  # last references anywhere (boxed) -> buffers free
     half = int(np.around(k1 / 2.0)) + 1
-    idx_k1 = sync(st["s2_topk"](original, k=k1 + 1))
-    idx_half = sync(st["s2_topk"](original, k=half))
-    idx_2 = sync(st["s2_topk"](original, k=k2)) if k2 != 1 else None
-    original_q = jnp.array(original[:q])  # materialize before donation
+    idx_k1 = sync(st["s2_topk"](neg, k=k1 + 1))
+    idx_half = sync(st["s2_topk"](neg, k=half))
+    idx_2 = sync(st["s2_topk"](neg, k=k2)) if k2 != 1 else None
+    original_q = jnp.negative(neg[:q])  # materialize before donation
     r = sync(st["s3a_reciprocal"](idx_k1))
     b = sync(st["s3a_reciprocal"](idx_half))
     expansion = sync(st["s3b_expansion"](r, b))
     del r, b
-    v = sync(st["s4_v"](original, expansion))
-    del original, expansion  # original donated into weights; expansion dead
+    v = sync(st["s4_v"](neg, expansion))
+    del neg, expansion  # neg donated into weights; expansion dead
+    if defer_qexpand:
+        return v, original_q, idx_2
     if k2 != 1:
         v = sync(st["s5_qexpand"](v, idx_2))
     return v, original_q
+
+
+_QEXPAND_JIT = None  # lazily-built module-level jit (per-shape cached)
+
+
+def _qexpand_rows(v, idx2_rows):
+    """Query-expansion (s5) for an arbitrary row subset: mean of v's rows
+    gathered by each entry of ``idx2_rows`` — (r, kk) int32 -> (r, n).
+    fori_loop, NOT an unrolled python loop: unrolled, XLA schedules all kk
+    full-size gathers before the adds and holds them concurrently (the
+    original 26 GB LS-VID OOM). One module-level jit (a fresh jit per call
+    would recompile every slab; see CLAUDE.md) — retraces only per
+    distinct slab shape."""
+    global _QEXPAND_JIT
+    if _QEXPAND_JIT is None:
+        import jax
+
+        def _impl(v, idx2_rows):
+            kk = idx2_rows.shape[1]
+
+            def inner(j, acc):
+                return acc + v[idx2_rows[:, j]]
+
+            if kk == 1:
+                return v[idx2_rows[:, 0]]
+            return jax.lax.fori_loop(1, kk, inner, v[idx2_rows[:, 0]]) / kk
+
+        _QEXPAND_JIT = jax.jit(_impl)
+    return _QEXPAND_JIT(v, idx2_rows)
 
 
 _STAGED_CACHE = {}  # insertion-ordered; most-recent last
@@ -284,85 +356,160 @@ def _make_staged_stages(n0, n_pad, mesh):
         shard_kw = {}
     pad = n_pad - n0
 
-    # no donate_argnums: XLA cannot alias three differently-shaped inputs
-    # into the concatenated output (it just warns "not usable"); the
-    # buffers free because the boxed caller dropped every reference
+    # no donate_argnums: XLA cannot alias the three differently-shaped
+    # inputs into the output (it just warns "not usable"); the buffers
+    # free because the boxed caller dropped every reference.
+    #
+    # The output is the NEGATED column-normalized squared-distance matrix,
+    # assembled block-wise over OUTPUT rows directly from the three
+    # inputs. Two HBM-cliff reasons (the whole-matrix concat form OOMed
+    # session-dependently at LS-VID n=36000): (1) the (n, n) concat AND
+    # its normalized transpose never exist next to the ~5 GB inputs —
+    # peak drops from ~3 n^2 fp32 to inputs + output; (2) negation here
+    # means the three s2 top-k calls take the matrix as-is instead of
+    # each materializing a full n^2 negated copy.
+    #
+    # Identity used: with c = [[q_q, q_g], [q_g.T, g_g]], the reference
+    # computes (sq(c) / colmax(sq(c))).T, i.e. out[j, i] =
+    # sq(c[i, j]) / mx[j] where mx[j] = max_i sq(c[i, j]). Both mx and
+    # any output row-block are computable from slices of the inputs.
     @functools.partial(jax.jit, **shard_kw)
     def s1_original(q_g, q_q, g_g):
-        original = jnp.concatenate(
+        q = q_q.shape[0]
+        g = g_g.shape[0]
+        sq_qq = jnp.square(q_q).astype(jnp.float32)
+        sq_qg = jnp.square(q_g).astype(jnp.float32)
+        # column max of the full concat, from per-input reductions:
+        # j < q: rows are q_q[:, j] then q_g.T[:, j] == q_g[j, :]
+        # j >= q: rows are q_g[:, j-q] then g_g[:, j-q]
+        sq_gg_colmax = jnp.max(jnp.square(g_g).astype(jnp.float32), axis=0)
+        mx = jnp.concatenate(
             [
-                jnp.concatenate([q_q, q_g], axis=1),
-                jnp.concatenate([q_g.T, g_g], axis=1),
-            ],
-            axis=0,
+                jnp.maximum(jnp.max(sq_qq, axis=0), jnp.max(sq_qg, axis=1)),
+                jnp.maximum(jnp.max(sq_qg, axis=0), sq_gg_colmax),
+            ]
         )
-        original = jnp.square(original).astype(jnp.float32)
-        original = (original / jnp.max(original, axis=0)).T
+        # phantom pad items sit at the normalized max distance (1.0 -> neg
+        # -1.0) from everything, 0.0 from themselves: never enter a real
+        # item's top-k, keep their own reciprocal set = {self}
+        out = jnp.full((n_pad, n_pad), -1.0, jnp.float32)
         if pad:
-            # phantom items at the normalized max distance (1.0) from
-            # everything, 0.0 from themselves: never enter a real item's
-            # top-k, keep their own reciprocal set = {self} (no 0/0 rows)
-            original = jnp.pad(original, ((0, pad), (0, pad)), constant_values=1.0)
             diag = jnp.arange(n0, n_pad)
-            original = original.at[diag, diag].set(0.0)
-        return original
+            out = out.at[diag, diag].set(0.0)
+        # query rows (j < q) in one slab: (q, n0) is small
+        out_q = -jnp.concatenate([sq_qq.T, sq_qg], axis=1) / mx[:q, None]
+        out = jax.lax.dynamic_update_slice(out, out_q, (0, 0))
+
+        # gallery rows (j >= q) block-wise; overlapping-tail blocks
+        # recompute identical values (writes are idempotent)
+        r = min(_STAGE_BLOCK, g)
+
+        def body(bi, out):
+            start = jnp.minimum(bi * r, g - r)
+            qg_cols = jax.lax.dynamic_slice(q_g, (0, start), (q, r))
+            gg_cols = jax.lax.dynamic_slice(g_g, (0, start), (g, r))
+            blk = jnp.concatenate(
+                [
+                    jnp.square(qg_cols).astype(jnp.float32).T,
+                    jnp.square(gg_cols).astype(jnp.float32).T,
+                ],
+                axis=1,
+            )
+            scale = jax.lax.dynamic_slice(mx, (q + start,), (r,))
+            return jax.lax.dynamic_update_slice(out, -blk / scale[:, None], (q + start, 0))
+
+        return jax.lax.fori_loop(0, -(-g // r), body, out)
 
     @functools.partial(jax.jit, static_argnames=("k",), **shard_kw)
-    def s2_topk(original, k):
-        # numpy's rank[:, :k] silently clamps when k > n; match it
-        return jax.lax.top_k(-original, min(k, original.shape[1]))[1]
+    def s2_topk(neg, k):
+        # largest of the negated matrix = smallest distance; numpy's
+        # rank[:, :k] silently clamps when k > n; match it
+        return jax.lax.top_k(neg, min(k, neg.shape[1]))[1]
 
     @functools.partial(jax.jit, **shard_kw)
     def s3a_reciprocal(idx):
-        # bf16 0/1 adjacency straight from indices, AND'd with its
-        # transpose. The AND runs block-wise over output rows: a
-        # whole-matrix `a * a.T` materializes a full n^2 transpose temp
-        # next to `a` and the output (3 x n^2 bf16 — with the fp32
-        # distance matrix still live this is what tipped the LS-VID
-        # n=36000 run over the v5e HBM cliff); per block only an (r, n)
-        # row slice and an (n, r) column slice are live. Overlapping-tail
-        # blocks recompute identical values. Under a mesh the slices ride
-        # GSPMD (the column slice is the all-to-all-ish step).
+        # BOOL 0/1 adjacency straight from indices, AND'd with its
+        # transpose. bool (1 byte) halves the bf16 footprint — with the
+        # fp32 distance matrix still live, the two full adjacency buffers
+        # here were what tipped the LS-VID n=36000 run over the v5e HBM
+        # cliff. The AND runs block-wise over output rows (a whole-matrix
+        # `a & a.T` would materialize a full n^2 transpose temp); per
+        # block only an (r, n) row slice and an (n, r) column slice are
+        # live, and the AND is pure VPU elementwise work — no matmul, so
+        # no bf16 needed. Overlapping-tail blocks recompute identical
+        # values. Under a mesh the slices ride GSPMD (the column slice is
+        # the all-to-all-ish step).
         n = idx.shape[0]
         rows = jnp.arange(n)[:, None]
-        a = jnp.zeros((n, n), jnp.bfloat16).at[rows, idx].set(1.0)
+        a = jnp.zeros((n, n), bool).at[rows, idx].set(True)
         r = min(_STAGE_BLOCK, n)
 
         def body(bi, out):
             start = jnp.minimum(bi * r, n - r)
             a_rows = jax.lax.dynamic_slice(a, (start, 0), (r, n))
             a_cols = jax.lax.dynamic_slice(a, (0, start), (n, r))
-            return jax.lax.dynamic_update_slice(out, a_rows * a_cols.T, (start, 0))
+            return jax.lax.dynamic_update_slice(out, a_rows & a_cols.T, (start, 0))
 
         return jax.lax.fori_loop(0, -(-n // r), body, jnp.zeros_like(a))
 
     @functools.partial(jax.jit, **shard_kw)
     def s3b_expansion(r, b):
-        # all counts are integers ≤ k1+1: exact in bf16 end-to-end. The
-        # 2/3·|B| threshold is never an eps away from an integer, so the
-        # bf16 compare is exact too. Block-wise over output rows for the
-        # same HBM-cliff reason as s3a: the whole-matrix form held the
-        # overlap/qualifies/expanded n^2 temps concurrently with r and b.
-        # No donation: r and b are read until the final block.
+        # all counts are integers ≤ k1+1: exact in bf16 end-to-end (and
+        # exact under any accumulation order, so the blocked sums below
+        # equal the one-shot matmuls). The 2/3·|B| threshold is never an
+        # eps away from an integer, so the bf16 compare is exact too.
+        # Block-wise over BOTH matmul operands: r and b arrive as bool
+        # (half the bf16 bytes at rest); each inner step casts only an
+        # (rr, n) slab to bf16 for the MXU, so no full-size bf16 copy of
+        # either matrix ever materializes. No donation: r and b are read
+        # until the final block.
         n = r.shape[0]
         b_sizes = jnp.sum(b, axis=1, dtype=jnp.float32)
         thresh = ((2.0 / 3.0) * b_sizes).astype(jnp.bfloat16)
         rr = min(_STAGE_BLOCK, n)
+        nblk = -(-n // rr)
 
         def body(bi, out):
             start = jnp.minimum(bi * rr, n - rr)
-            rb = jax.lax.dynamic_slice(r, (start, 0), (rr, n))
-            overlap = jnp.dot(rb, b.T, preferred_element_type=jnp.bfloat16)
+            rb = jax.lax.dynamic_slice(r, (start, 0), (rr, n)).astype(jnp.bfloat16)
+
+            # overlap[i, j] = |R(row i) ∩ B(j)|, columns built block-wise
+            # over b's rows (idempotent writes: tail overlap recomputes
+            # identical values)
+            def inner_overlap(mi, overlap):
+                mstart = jnp.minimum(mi * rr, n - rr)
+                bm = jax.lax.dynamic_slice(b, (mstart, 0), (rr, n)).astype(jnp.bfloat16)
+                blk = jnp.dot(rb, bm.T, preferred_element_type=jnp.bfloat16)
+                return jax.lax.dynamic_update_slice(overlap, blk, (0, mstart))
+
+            overlap = jax.lax.fori_loop(
+                0, nblk, inner_overlap, jnp.zeros((rr, n), jnp.bfloat16)
+            )
             qual = rb * (overlap > thresh[None, :]).astype(jnp.bfloat16)
-            expanded = jnp.dot(qual, b, preferred_element_type=jnp.bfloat16)
+
+            # expanded = qual @ b, accumulated block-wise over b's rows.
+            # Accumulation is NOT idempotent, so the tail block masks off
+            # the rows the previous block already contributed.
+            def inner_expand(mi, expanded):
+                mstart = jnp.minimum(mi * rr, n - rr)
+                fresh = (mstart + jnp.arange(rr)) >= mi * rr
+                bm = jax.lax.dynamic_slice(b, (mstart, 0), (rr, n)).astype(jnp.bfloat16)
+                bm = bm * fresh[:, None].astype(jnp.bfloat16)
+                qm = jax.lax.dynamic_slice(qual, (0, mstart), (rr, rr))
+                return expanded + jnp.dot(qm, bm, preferred_element_type=jnp.bfloat16)
+
+            expanded = jax.lax.fori_loop(
+                0, nblk, inner_expand, jnp.zeros((rr, n), jnp.bfloat16)
+            )
             blk = (rb > 0) | (expanded > 0)
             return jax.lax.dynamic_update_slice(out, blk, (start, 0))
 
-        return jax.lax.fori_loop(0, -(-n // rr), body, jnp.zeros((n, n), bool))
+        return jax.lax.fori_loop(0, nblk, body, jnp.zeros((n, n), bool))
 
     @functools.partial(jax.jit, donate_argnums=(0,), **shard_kw)
-    def s4_v(original, expansion):
-        weights = jnp.exp(-original) * expansion
+    def s4_v(neg, expansion):
+        # neg is the negated distance matrix, so exp(-original) == exp(neg)
+        weights = jnp.exp(neg) * expansion
         return weights / jnp.sum(weights, axis=1, keepdims=True)
 
     @functools.partial(jax.jit, **shard_kw)
