@@ -289,6 +289,33 @@ def test_chunked_minplus_path_matches_whole_matrix(monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
+def test_chunked_minplus_path_with_k2_1(monkeypatch):
+    """k2=1 disables query expansion: the deferred-s5 chunked path must
+    fall back to slicing v directly (qexpand_idx is None) and still equal
+    the whole-matrix staged path."""
+    import jax.numpy as jnp
+
+    from grl_tpu.engine import rerank as R
+
+    rng = np.random.RandomState(5)
+    nq, ng = 10, 40
+    feats = rng.randn(nq + ng, 8).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = np.sqrt(np.maximum(2 - 2 * (feats @ feats.T), 1e-12)).astype(np.float32)
+    args = (d[:nq, nq:], d[:nq, :nq], d[nq:, nq:])
+
+    ref = np.asarray(
+        R.re_ranking_device(*map(jnp.asarray, args), k1=5, k2=1,
+                            interpret=True, staged=True)
+    )
+    monkeypatch.setattr(R, "_MINPLUS_CHUNK", 16)
+    got = np.asarray(
+        R.re_ranking_device(*map(jnp.asarray, args), k1=5, k2=1,
+                            interpret=True, staged=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
 def test_blockwise_staged_stages_match_at_multiblock_sizes(monkeypatch):
     """s3a/s3b/s5 run block-wise over output rows (HBM-cliff shape). On
     real problems multiple blocks only occur at n > 4096; shrink
