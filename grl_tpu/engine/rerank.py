@@ -119,6 +119,8 @@ def re_ranking_device(
             v, original_q = _build_v_staged(box, k1=k1, k2=k2, mesh=mesh)
             qexpand_idx = None
     else:
+        defer = False
+        qexpand_idx = None
         if (k1, k2) not in _BUILD_V_CACHE:
             _BUILD_V_CACHE[(k1, k2)] = _make_build_v(k1, k2)
         _build_v = _BUILD_V_CACHE[(k1, k2)]
@@ -128,7 +130,10 @@ def re_ranking_device(
         )
         original_q = original[:query_num]
     if mesh is None:
-        if staged and n_total > _MINPLUS_CHUNK:
+        # branch on the SAME `defer` flag the builder call used: deferred
+        # mode skips s5 on the promise this loop re-applies it, so a
+        # re-derived condition here could silently drop query expansion
+        if defer:
             # HBM-cliff scale: minplus_matmul pads AND transposes its B
             # operand, materializing a second full n^2 fp32 copy next to v
             # (2 x 5.2 GB at LS-VID scale — measured OOM after the staged

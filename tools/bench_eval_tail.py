@@ -94,11 +94,8 @@ def main():
         qq = _euclidean(qf_d, qf_d)
         gg = _euclidean(gf_d, gf_d)
         del qf_d, gf_d
-        # serialize the dispatch queue before the staged builder: on this
-        # backend block_until_ready is not a barrier, and the queued
-        # distance temporaries would otherwise stay live INTO the n^2
-        # stages (host materialization is the only true sync)
-        jax.device_get(gg[0, 0]), jax.device_get(dist[0, 0]), jax.device_get(qq[0, 0])
+        # (re_ranking_device itself serializes the dispatch queue on its
+        # boxed inputs before the n^2 stages — no caller-side sync needed)
         box = [dist, qq, gg]
         dist = qq = gg = None  # boxed refs are the only ones left
         dist = re_ranking_device(inputs_box=box)
