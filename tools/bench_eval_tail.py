@@ -24,9 +24,15 @@ from grl_tpu.engine.rerank import re_ranking_device  # noqa: E402
 
 
 def main():
+    from grl_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # n^2-scale stage compiles persist across runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsvid", action="store_true", help="3000x33000 instead of MARS 1980x11310")
     ap.add_argument("--rerank", action="store_true")
+    ap.add_argument("--warm", action="store_true",
+                    help="LS-VID rerank: add a second stage-cached pass "
+                         "(features re-uploaded outside the timer)")
     ap.add_argument("--from-host", action="store_true",
                     help="rerank variant: upload precomputed distance blocks "
                          "instead of computing them from device features — "
@@ -83,28 +89,37 @@ def main():
     float(jnp.sum(qf_d)), float(jnp.sum(gf_d))  # finish the upload
 
     if args.rerank and args.lsvid:
-        # the LS-VID staged re-ranking runs AT the single-chip HBM
+        # the LS-VID staged re-ranking runs near the single-chip HBM
         # capacity cliff: the ~830 MB of fp32 features must be dropped
         # before the n^2 stages (exactly the Evaluator's discipline,
-        # engine/evaluator.py), and keeping them alive for a second warm
-        # pass OOMs. Report one cold run (compile included) — warm timing
-        # at this scale needs the mesh headroom path.
-        t0 = time.perf_counter()
-        dist = cosine_distance(qf_d, gf_d)
-        qq = _euclidean(qf_d, qf_d)
-        gg = _euclidean(gf_d, gf_d)
-        del qf_d, gf_d
-        # (re_ranking_device itself serializes the dispatch queue on its
-        # boxed inputs before the n^2 stages — no caller-side sync needed)
-        box = [dist, qq, gg]
-        dist = qq = gg = None  # boxed refs are the only ones left
-        dist = re_ranking_device(inputs_box=box)
-        cmc, mAP = metrics.evaluate_device(dist, q_pids, g_pids, q_cams, g_cams)
-        dt = time.perf_counter() - t0
-        print(
-            f"{label} eval tail ({q}x{q + g}) +rerank, single COLD run at the "
-            f"HBM cliff: {dt:.2f}s  (rank1={cmc[0]:.3f} mAP={mAP:.3f})"
-        )
+        # engine/evaluator.py). With --warm a second pass re-uploads the
+        # features (outside the timer, matching periodic eval where each
+        # eval re-extracts them) and times the stage-cached path.
+        passes = 2 if args.warm else 1
+        for p in range(passes):
+            if p > 0:
+                qf_d, gf_d = jnp.asarray(qf), jnp.asarray(gf)
+                float(jnp.sum(qf_d)), float(jnp.sum(gf_d))
+            t0 = time.perf_counter()
+            dist = cosine_distance(qf_d, gf_d)
+            qq = _euclidean(qf_d, qf_d)
+            gg = _euclidean(gf_d, gf_d)
+            del qf_d, gf_d
+            # (re_ranking_device itself serializes the dispatch queue on
+            # its boxed inputs before the n^2 stages — no caller-side
+            # sync needed)
+            box = [dist, qq, gg]
+            dist = qq = gg = None  # boxed refs are the only ones left
+            dist = re_ranking_device(inputs_box=box)
+            cmc, mAP = metrics.evaluate_device(dist, q_pids, g_pids, q_cams, g_cams)
+            dt = time.perf_counter() - t0
+            kind = "WARM (stage-cached)" if p else "COLD (compiles included)"
+            print(
+                f"{label} eval tail ({q}x{q + g}) +rerank, {kind} run near the "
+                f"HBM cliff: {dt:.2f}s  (rank1={cmc[0]:.3f} mAP={mAP:.3f})",
+                flush=True,
+            )
+            del dist
         return
 
     def tail():
