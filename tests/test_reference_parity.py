@@ -13,6 +13,9 @@ Every oracle in this file is the reference's own source, loaded from
   accuracy, evaluate_zhengliang) as the oracle for engine/metrics.py.
 - re-ranking: reid/evaluator/rerank.py re_ranking as the oracle for the
   host rewrite and the on-device implementation.
+- clip sampling: reid/data/video_loader.py VideoDataset as the
+  index-exact oracle for the rrs_test/dense/rrs_train grids, and
+  reid/data/seqtransforms.py for the eval decode/resize/normalize chain.
 
 The hand-written torch oracle (tests/torch_oracle.py) remains as
 documentation and for tiny-shape sweeps; THESE tests are the parity
@@ -508,3 +511,85 @@ def test_re_ranking_device_matches_reference():
         R.re_ranking_device(qg, qq, gg, k1=8, k2=3, lambda_value=0.3, interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Clip sampling grids: data/sampling.py vs the reference's video_loader.py
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_video_loader():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_video_loader", "/root/reference/reid/data/video_loader.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _FrameIdTransform:
+    """Maps each PIL frame to a (1,) tensor of its red-channel value — with
+    1x1 solid frames whose value IS the source frame index, the literal
+    VideoDataset's output becomes its chosen index grid, readable without
+    replicating any of its internals."""
+
+    def __call__(self, seq):
+        return [
+            [torch.tensor([float(np.asarray(img)[0, 0, 0])]) for img in modal]
+            for modal in seq
+        ]
+
+
+@pytest.mark.parametrize("seq_len", [4, 8])
+def test_sampling_grids_match_reference(tmp_path, seq_len):
+    """rrs_test / dense / rrs_train frame-index grids, index-exact vs the
+    literal reference VideoDataset over every tracklet length 1..30:
+    chunk strips, ceil-interval padding with last-frame repeats, the dense
+    tail clip's cycling self-append, and (for rrs_train, whose per-chunk
+    draw mechanics differ by design) grid membership at the reference's
+    own randomly-chosen columns (reference reid/data/video_loader.py
+    builds sample_clip at :36-50, rrs_test :142-155, dense :86-123,
+    rrs_train :124-141)."""
+    from PIL import Image
+
+    from grl_tpu.data import sampling as SA
+
+    VL = _load_reference_video_loader()
+    all_paths = []
+    for i in range(30):
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(np.full((1, 1, 3), i, np.uint8)).save(p)
+        all_paths.append(str(p))
+
+    tf = _FrameIdTransform()
+    for num in range(1, 31):
+        cat = [(tuple(all_paths[:num]), 0, 0)]
+
+        ref = VL.VideoDataset(cat, seq_len=seq_len, sample="rrs_test", transform=tf)
+        got_ref = ref[0][0].numpy().ravel().astype(int)
+        np.testing.assert_array_equal(
+            SA.rrs_test_indices(num, seq_len), got_ref, err_msg=f"rrs_test num={num}"
+        )
+
+        ref = VL.VideoDataset(cat, seq_len=seq_len, sample="dense", transform=tf)
+        ref_dense = ref[0][0].numpy()[..., 0].astype(int)
+        np.testing.assert_array_equal(
+            SA.dense_indices(num, seq_len), ref_dense, err_msg=f"dense num={num}"
+        )
+
+        # rrs_train: the reference draws ONE column choice over the global
+        # numpy RNG; replaying that stream against OUR grid pins the full
+        # sample_clip matrix (not just column 0) without requiring our
+        # per-pool draw mechanics to share the reference's stream.
+        for seed in (0, 1):
+            np.random.seed(seed)
+            ref = VL.VideoDataset(cat, seq_len=seq_len, sample="rrs_train", transform=tf)
+            got_train = ref[0][0].numpy().ravel().astype(int)
+            grid = SA.rrs_grid(num, seq_len)
+            cols = np.random.RandomState(seed).choice(len(grid[0]), len(grid))
+            expect = np.array([grid[r][c] for r, c in enumerate(cols)])
+            np.testing.assert_array_equal(
+                expect, got_train, err_msg=f"rrs_train num={num} seed={seed}"
+            )
