@@ -109,6 +109,12 @@ class Mars:
             )
 
         pid_list = sorted(set(meta[:, 2].tolist()))
+        # the reference counts the junk pid (-1) in num_pids when present
+        # (mars.py:144,183-184 — its real-MARS gallery banner says 622
+        # because of it) even though junk tracklets are skipped below;
+        # match the count for diffable stats, but keep -1 OUT of the
+        # relabel map (labels must stay 0..n_valid-1 for the OIM lut)
+        num_pids = len(pid_list)
         if -1 in pid_list:
             pid_list.remove(-1)
         pid2label = {pid: label for label, pid in enumerate(pid_list)}
@@ -142,7 +148,7 @@ class Mars:
             payload = {
                 "tracklets": tracklets,
                 "num_tracklets": len(tracklets),
-                "num_pids": len(pid_list),
+                "num_pids": num_pids,
                 "num_imgs_per_tracklet": num_imgs,
                 "pids": pids_out,
                 "camid": camids_out,
@@ -153,7 +159,7 @@ class Mars:
                 # read-only dataset mounts are common; the cache is an
                 # optimization, not a requirement
                 print(f"MARS: split cache not written ({e}); continuing uncached")
-        return tracklets, len(pid_list), num_imgs, pids_out, camids_out
+        return tracklets, num_pids, num_imgs, pids_out, camids_out
 
     def _print_stats(self, num_imgs):
         print("=> MARS loaded")

@@ -154,3 +154,37 @@ def load_reference_evaluator():
         if added:
             sys.path.remove(REF)
     return eva, rerank
+
+
+@functools.lru_cache(maxsize=1)
+def load_reference_mars():
+    """Returns the literal reid/dataset/mars.py module. The Mars class
+    hardcodes its dataset root in CLASS attributes (mars.py:13-21 —
+    ignoring --data-dir is a documented reference bug); callers must
+    re-point root/\\*_path/\\*_json_path at their tree before
+    instantiating. Needs the reference's root-level ``utils`` package
+    (write_json/read_json) on sys.path, like the evaluator loader."""
+    added = REF not in sys.path
+    if added:
+        sys.path.insert(0, REF)
+    try:
+        return _load("_refdataset_mars", f"{REF}/reid/dataset/mars.py")
+    finally:
+        if added:
+            sys.path.remove(REF)
+
+
+def point_reference_mars_at(mars_cls, root):
+    """Re-derive the literal Mars class's hardcoded path attributes for a
+    given tree (same joins as mars.py:13-21)."""
+    import os.path as osp
+
+    mars_cls.root = root
+    mars_cls.train_name_path = osp.join(root, "info/train_name.txt")
+    mars_cls.test_name_path = osp.join(root, "info/test_name.txt")
+    mars_cls.track_train_info_path = osp.join(root, "info/tracks_train_info.mat")
+    mars_cls.track_test_info_path = osp.join(root, "info/tracks_test_info.mat")
+    mars_cls.query_IDX_path = osp.join(root, "info/query_IDX.mat")
+    mars_cls.split_train_json_path = osp.join(root, "ref_split_train.json")
+    mars_cls.split_query_json_path = osp.join(root, "ref_split_query.json")
+    mars_cls.split_gallery_json_path = osp.join(root, "ref_split_gallery.json")

@@ -593,3 +593,53 @@ def test_sampling_grids_match_reference(tmp_path, seq_len):
             np.testing.assert_array_equal(
                 expect, got_train, err_msg=f"rrs_train num={num} seed={seed}"
             )
+
+
+# ---------------------------------------------------------------------------
+# MARS catalog: data/catalogs/mars.py vs the reference's dataset/mars.py
+# ---------------------------------------------------------------------------
+
+
+def test_mars_catalog_matches_reference(tmp_path):
+    """Output-exact catalog parity on the same on-disk tree: tracklet
+    (paths, pid, camid) tuples for train/query/gallery, pid counts, and
+    the queryinfo/galleryinfo protocol arrays, against the literal
+    reference Mars parser (reid/dataset/mars.py) with its hardcoded-root
+    class attributes re-pointed at a generated fake tree (the root bug —
+    ignoring --data-dir — is the one documented divergence)."""
+    import os.path as osp
+    import sys
+
+    from reference_loader import load_reference_mars, point_reference_mars_at
+
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+    from make_fake_mars import make_fake_mars
+
+    from grl_tpu.data.catalogs.mars import Mars as OurMars
+
+    root = make_fake_mars(
+        str(tmp_path / "MARS"), train_ids=3, test_ids=3, cams=3,
+        tracklets_per_id_cam=2, junk_tracklets=2, query_cams=2,
+    )
+
+    ref_mod = load_reference_mars()
+    point_reference_mars_at(ref_mod.Mars, root)
+    ref = ref_mod.Mars(min_seq_len=0)
+    ours = OurMars(root, use_cache=False)
+
+    def norm(tracklets):
+        return [(tuple(paths), int(pid), int(cam)) for paths, pid, cam in tracklets]
+
+    assert norm(ours.train) == norm(ref.train)
+    assert norm(ours.query) == norm(ref.query)
+    assert norm(ours.gallery) == norm(ref.gallery)
+    assert ours.num_train_pids == ref.num_train_pids
+    assert ours.num_query_pids == ref.num_query_pids
+    assert ours.num_gallery_pids == ref.num_gallery_pids
+    for split in ("queryinfo", "galleryinfo"):
+        for field in ("pid", "camid", "tranum"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(getattr(ours, split), field)),
+                np.asarray(getattr(getattr(ref, split), field)),
+                err_msg=f"{split}.{field}",
+            )
