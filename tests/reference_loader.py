@@ -188,3 +188,20 @@ def point_reference_mars_at(mars_cls, root):
     mars_cls.split_train_json_path = osp.join(root, "ref_split_train.json")
     mars_cls.split_query_json_path = osp.join(root, "ref_split_query.json")
     mars_cls.split_gallery_json_path = osp.join(root, "ref_split_gallery.json")
+
+
+@functools.lru_cache(maxsize=1)
+def load_reference_duke():
+    """Returns the literal reid/dataset/duke.py module. Like Mars, the
+    class hardcodes its root (duke.py:30) — set
+    ``DukeMTMCVidReID.root = <tree>`` before instantiating (all other
+    paths derive from it in __init__). NOTE: it writes split_*.json
+    caches INTO the tree and reads them back on re-instantiation."""
+    added = REF not in sys.path
+    if added:
+        sys.path.insert(0, REF)
+    try:
+        return _load("_refdataset_duke", f"{REF}/reid/dataset/duke.py")
+    finally:
+        if added:
+            sys.path.remove(REF)

@@ -14,8 +14,12 @@ Every oracle in this file is the reference's own source, loaded from
 - re-ranking: reid/evaluator/rerank.py re_ranking as the oracle for the
   host rewrite and the on-device implementation.
 - clip sampling: reid/data/video_loader.py VideoDataset as the
-  index-exact oracle for the rrs_test/dense/rrs_train grids, and
-  reid/data/seqtransforms.py for the eval decode/resize/normalize chain.
+  index-exact oracle for the rrs_test/dense/rrs_train grids and the
+  'random' consecutive window, and reid/data/seqtransforms.py for the
+  eval decode/resize/normalize chain.
+- dataset catalogs: reid/dataset/{mars,duke}.py as output-exact oracles
+  on generated trees in the real on-disk layouts (their hardcoded roots
+  re-pointed).
 
 The hand-written torch oracle (tests/torch_oracle.py) remains as
 documentation and for tiny-shape sweeps; THESE tests are the parity
@@ -642,4 +646,99 @@ def test_mars_catalog_matches_reference(tmp_path):
                 np.asarray(getattr(getattr(ours, split), field)),
                 np.asarray(getattr(getattr(ref, split), field)),
                 err_msg=f"{split}.{field}",
+            )
+
+
+def test_duke_catalog_matches_reference(tmp_path):
+    """Duke directory-walk parity on the same tree vs the literal
+    reference parser (reid/dataset/duke.py): tracklet frame-path
+    reconstruction by F-index lookup, old/new filename camid parsing,
+    dense sub-clip splitting, and pid counts. The reference's tracklet
+    ORDER and train relabeling come from unsorted glob and set-iteration
+    accidents, so lists are compared sorted and the train labels as a
+    bijection (any consistent relabeling is equivalent for the OIM lut)."""
+    import os.path as osp
+    import sys
+
+    from reference_loader import load_reference_duke
+
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+    from make_fake_duke import make_fake_duke
+
+    from grl_tpu.data.catalogs.duke import DukeMTMCVidReID as OurDuke
+
+    root = make_fake_duke(str(tmp_path / "DukeV"), train_ids=3, test_ids=3, cams=3)
+
+    # ours FIRST with caching off: the literal writes split_*.json into
+    # the tree, and reading those back would compare the reference to
+    # itself
+    ours = OurDuke(root, use_cache=False, verbose=False)
+    ref_mod = load_reference_duke()
+    ref_mod.DukeMTMCVidReID.root = root
+    ref = ref_mod.DukeMTMCVidReID(verbose=False)
+
+    def by_first_path(tracklets):
+        return sorted(
+            ((tuple(p), int(pid), int(cam)) for p, pid, cam in tracklets),
+            key=lambda t: t[0][0],
+        )
+
+    for split in ("query", "gallery"):
+        assert by_first_path(getattr(ours, split)) == by_first_path(getattr(ref, split)), split
+
+    for ours_t, ref_t in (
+        (ours.train, ref.train),
+        (ours.train_dense, ref.train_dense),
+    ):
+        a, b = by_first_path(ours_t), by_first_path(ref_t)
+        assert [(t[0], t[2]) for t in a] == [(t[0], t[2]) for t in b]  # paths+camid
+        pairs = {(ta[1], tb[1]) for ta, tb in zip(a, b)}
+        assert len({p[0] for p in pairs}) == len(pairs) == len({p[1] for p in pairs}), \
+            "train relabeling is not a consistent bijection"
+
+    assert ours.num_train_pids == ref.num_train_pids
+    assert ours.num_query_pids == ref.num_query_pids
+    assert ours.num_gallery_pids == ref.num_gallery_pids
+
+
+@pytest.mark.parametrize("seq_len", [4, 8])
+def test_random_window_matches_reference(tmp_path, seq_len):
+    """'random' consecutive-window sampling vs the literal VideoDataset
+    (video_loader.py:52-84): replay the reference's global-random begin
+    draw into our random_window_indices via an rng stub, so the window
+    construction and cycling repeat-padding must agree index-exact (the
+    draw MECHANICS differ by design: global python random vs passed-in
+    numpy rng)."""
+    import random
+
+    from PIL import Image
+
+    from grl_tpu.data import sampling as SA
+
+    VL = _load_reference_video_loader()
+    all_paths = []
+    for i in range(30):
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(np.full((1, 1, 3), i, np.uint8)).save(p)
+        all_paths.append(str(p))
+
+    class _Replay:
+        def __init__(self, begin):
+            self.begin = begin
+
+        def randint(self, lo, hi):
+            assert lo <= self.begin < hi
+            return self.begin
+
+    tf = _FrameIdTransform()
+    for num in range(1, 31):
+        cat = [(tuple(all_paths[:num]), 0, 0)]
+        for seed in (0, 1):
+            random.seed(seed)
+            ref = VL.VideoDataset(cat, seq_len=seq_len, sample="random", transform=tf)
+            got_ref = ref[0][0].numpy().ravel().astype(int)
+            begin = random.Random(seed).randint(0, max(0, num - seq_len - 1))
+            got = SA.random_window_indices(num, seq_len, _Replay(begin))
+            np.testing.assert_array_equal(
+                got, got_ref, err_msg=f"random num={num} seed={seed}"
             )
