@@ -205,3 +205,28 @@ def load_reference_duke():
     finally:
         if added:
             sys.path.remove(REF)
+
+
+@functools.lru_cache(maxsize=1)
+def load_reference_sequences():
+    """Returns (ilids_mod, prid_mod) — the literal sequence-dataset
+    classes (they take ``root`` as a constructor arg, no hardcoded path).
+    Imported through the normal package machinery: ilidsvidsequence does
+    ``from reid.data.datasequence import Datasequence``."""
+    added = REF not in sys.path
+    if added:
+        sys.path.insert(0, REF)
+    try:
+        # reid.data and reid.dataset's __init__s import each other
+        # (data/dataloader.py:4 <-> dataset/ilidsvidsequence.py:4); only
+        # this direction resolves the cycle: reid.data's dataloader pulls
+        # reid.dataset while reid.data.datasequence is ALREADY in
+        # sys.modules, whereas starting from reid.dataset hits
+        # a partially-initialized reid.dataset without get_sequence
+        import reid.data  # noqa: F401
+        import reid.dataset.ilidsvidsequence as ilids_mod
+        import reid.dataset.prid2011sequence as prid_mod
+    finally:
+        if added:
+            sys.path.remove(REF)
+    return ilids_mod, prid_mod

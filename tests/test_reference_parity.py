@@ -17,9 +17,10 @@ Every oracle in this file is the reference's own source, loaded from
   index-exact oracle for the rrs_test/dense/rrs_train grids and the
   'random' consecutive window, and reid/data/seqtransforms.py for the
   eval decode/resize/normalize chain.
-- dataset catalogs: reid/dataset/{mars,duke}.py as output-exact oracles
-  on generated trees in the real on-disk layouts (their hardcoded roots
-  re-pointed).
+- dataset catalogs: reid/dataset/{mars,duke,ilidsvidsequence,
+  prid2011sequence}.py (+ datasequence.py window plucking) as
+  output-exact oracles on generated trees in the real on-disk layouts
+  (hardcoded roots re-pointed where present).
 
 The hand-written torch oracle (tests/torch_oracle.py) remains as
 documentation and for tiny-shape sweeps; THESE tests are the parity
@@ -742,3 +743,75 @@ def test_random_window_matches_reference(tmp_path, seq_len):
             np.testing.assert_array_equal(
                 got, got_ref, err_msg=f"random num={num} seed={seed}"
             )
+
+
+def _assert_sequence_catalog_matches(ours, ref, root):
+    """Window-exact comparison: rebuild the literal (start, end, pid,
+    index, camid) records into our (img_paths, label, camid) tracklet
+    tuples through the shared meta.json and compare every split."""
+    import os.path as osp
+
+    identities = ours.meta["identities"]
+
+    def rebuild(records):
+        return [
+            (
+                tuple(
+                    osp.join(root, "images", identities[pid][camid][i])
+                    for i in range(s, e)
+                ),
+                idx,
+                camid,
+            )
+            for s, e, pid, idx, camid in records
+        ]
+
+    assert list(ours.train) == rebuild(ref.train)
+    assert list(ours.val) == rebuild(ref.val)
+    assert list(ours.trainval) == rebuild(ref.trainval)
+    assert list(ours.query) == rebuild(ref.query)
+    assert list(ours.gallery) == rebuild(ref.gallery)
+    assert ours.num_train_pids == ref.num_train_ids
+    assert ours.num_trainval_ids == ref.num_trainval_ids
+    for split in ("queryinfo", "galleryinfo"):
+        for field in ("pid", "camid", "tranum"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(getattr(ours, split), field)),
+                np.asarray(getattr(getattr(ref, split), field)),
+                err_msg=f"{split}.{field}",
+            )
+
+
+@pytest.mark.parametrize("name", ["ilids", "prid"])
+def test_sequence_catalog_matches_reference(tmp_path, name):
+    """iLIDS-VID / PRID-2011 windowed catalogs vs the literal reference
+    classes (reid/dataset/{ilidsvidsequence,prid2011sequence}.py +
+    datasequence.py _pluckseq/_pluckseq_cam) on the same PREPARED layout:
+    train/val/trainval window plucking with the (seq_len, seq_srd)
+    stride-exclusive range and whole-tracklet fallback, per-camera
+    query/gallery windows, and the protocol info arrays. The random
+    trainval shuffle is replayed by seeding the global numpy RNG for the
+    literal and passing the same seed to ours (same MT19937 stream)."""
+    from reference_loader import load_reference_sequences
+
+    from test_sequence_catalogs import make_raw_ilids, make_raw_prid
+
+    from grl_tpu.data.catalogs import iLIDSVIDSequence
+    from grl_tpu.data.catalogs.prepare import prepare_ilidsvid, prepare_prid2011
+    from grl_tpu.data.catalogs.sequence import PRID2011Sequence
+
+    ilids_mod, prid_mod = load_reference_sequences()
+    if name == "ilids":
+        root = make_raw_ilids(tmp_path, num_ids=5, frames=9)
+        prepare_ilidsvid(root)
+        ref_cls, our_cls = ilids_mod.iLIDSVIDSEQUENCE, iLIDSVIDSequence
+    else:
+        root = make_raw_prid(tmp_path, num_ids=5, frames=9)
+        prepare_prid2011(root, num_splits=3)
+        ref_cls, our_cls = prid_mod.PRID2011SEQUENCE, PRID2011Sequence
+
+    kw = dict(split_id=0, seq_len=4, seq_srd=2, num_val=1)
+    np.random.seed(13)
+    ref = ref_cls(str(root), **kw)
+    ours = our_cls(str(root), seed=13, verbose=False, **kw)
+    _assert_sequence_catalog_matches(ours, ref, str(root))
