@@ -94,6 +94,17 @@ def re_ranking_device(
         # matrices (they are dead after s1).
         import jax
 
+        if mesh is None and 8 * n_total * n_total > 10.5e9:
+            # s1's floor is inputs + output = 2 n^2 fp32; past ~36k items
+            # that alone exceeds what reduced-ceiling single chips offer
+            # (~11.5 GB usable observed on v5e sessions). Warn with the
+            # remedy instead of dying in an opaque RESOURCE_EXHAUSTED.
+            print(
+                f"WARNING: re-ranking {n_total} items on ONE chip needs "
+                f"~{8 * n_total * n_total / 1e9:.1f} GB at its floor stage; "
+                "near/over the single-chip HBM ceiling — pass mesh=... to "
+                "row-shard the set algebra across chips", flush=True,
+            )
         box = [jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist)]
         q_g_dist = q_q_dist = g_g_dist = None
         # serialize the dispatch queue before the n^2 stages: on the axon
@@ -269,11 +280,11 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False):
     st = _STAGED_CACHE[key]
 
     import os
+    import time as _time
     _dbg = os.environ.get("GRL_RERANK_DEBUG")
+    _t_last = [_time.perf_counter()]
 
     def sync(x):
-        if _dbg:
-            print("stage sync:", x.shape, x.dtype, flush=True)
         # serialize the async dispatch queue: without this, later stages'
         # outputs allocate while earlier stages' n^2 temporaries are still
         # live and the chain exhausts HBM even though every stage fits.
@@ -281,6 +292,11 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False):
         # only a host materialization is. Index, don't ravel: ravel would
         # materialize a full n^2 copy just to read one element.)
         jax.device_get(x[(0,) * x.ndim])
+        if _dbg:
+            now = _time.perf_counter()
+            print(f"stage sync: {x.shape} {x.dtype}  +{now - _t_last[0]:.3f}s",
+                  flush=True)
+            _t_last[0] = now
         return x
 
     # s1 produces the NEGATED normalized matrix (see _make_staged_stages):
