@@ -109,9 +109,14 @@ def rank(args):
         qq = _euclidean(jnp.asarray(qf), jnp.asarray(qf))
         gg = _euclidean(jnp.asarray(gf), jnp.asarray(gf))
         if jax.default_backend() == "tpu":
-            distmat = np.asarray(
-                re_ranking_device(jnp.asarray(distmat), qq, gg)
-            )
+            # boxed hand-over, same as the Evaluator: the staged builder
+            # (auto above n=16384) runs at the HBM cliff and the n^2
+            # distance matrices only free once no python frame references
+            # them — holding gg (~4 GB fp32 at LS-VID scale) through the
+            # stages OOMs reduced-ceiling sessions
+            box = [jnp.asarray(distmat), qq, gg]
+            qq = gg = distmat = None
+            distmat = np.asarray(re_ranking_device(inputs_box=box))
         else:
             distmat = re_ranking(distmat, np.asarray(qq), np.asarray(gg))
     topk = min(args.topk, gf.shape[0])
@@ -200,5 +205,10 @@ def main(args):
     return extract_split(args)
 
 
+def cli():
+    """Console-script entry point (pyproject [project.scripts])."""
+    return main(build_parser().parse_args())
+
+
 if __name__ == "__main__":
-    main(build_parser().parse_args())
+    cli()

@@ -97,16 +97,22 @@ class Mars:
         with open(path) as f:
             return [line.rstrip() for line in f]
 
+    # bumped when the payload SEMANTICS change (v2: num_pids counts the
+    # junk pid -1 like the reference); a stale-version cache is reparsed
+    # and rewritten rather than silently returning old-semantics values
+    _CACHE_VERSION = 2
+
     def _process(self, names, meta, home_dir, relabel, min_seq_len, json_path):
         if json_path and osp.exists(json_path):
             split = read_json(json_path)
-            return (
-                [(tuple(paths), pid, cam) for paths, pid, cam in split["tracklets"]],
-                split["num_pids"],
-                split["num_imgs_per_tracklet"],
-                split["pids"],
-                split["camid"],
-            )
+            if split.get("version") == self._CACHE_VERSION:
+                return (
+                    [(tuple(paths), pid, cam) for paths, pid, cam in split["tracklets"]],
+                    split["num_pids"],
+                    split["num_imgs_per_tracklet"],
+                    split["pids"],
+                    split["camid"],
+                )
 
         pid_list = sorted(set(meta[:, 2].tolist()))
         # the reference counts the junk pid (-1) in num_pids when present
@@ -146,6 +152,7 @@ class Mars:
 
         if json_path:
             payload = {
+                "version": self._CACHE_VERSION,
                 "tracklets": tracklets,
                 "num_tracklets": len(tracklets),
                 "num_pids": num_pids,

@@ -311,11 +311,14 @@ class Evaluator:
                 # On-device set algebra + Pallas Jaccard min-sum. The n^2
                 # distance matrices never leave the chip — only features go
                 # up; ranking below also runs on device. Drop EVERY
-                # reference to the feature arrays first (aliases and the
-                # originals): at LS-VID scale the staged re-ranking runs
-                # at the HBM capacity cliff and the ~860 MB of fp32
-                # features would otherwise stay live through it (the
-                # distance inputs themselves are donated).
+                # reference first, features AND distances: XLA cannot
+                # donate the three differently-shaped distance matrices
+                # into the staged builder's concat, so they (and the
+                # ~860 MB of fp32 features) only free once no python frame
+                # references them — hence the box hand-over below, which
+                # re_ranking_device empties on entry. At LS-VID scale the
+                # staged re-ranking runs at the HBM capacity cliff and
+                # keeping any of these alive OOMs reduced-ceiling sessions.
                 from .rerank import re_ranking_device
 
                 box = [distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d)]

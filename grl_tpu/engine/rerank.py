@@ -154,12 +154,7 @@ def re_ranking_device(
             import jax
 
             n = v.shape[0]
-            if qexpand_idx is not None:
-                # deferred s5: expanded rows are generated per slab from v
-                # and consumed immediately by the kernel — the full
-                # expanded-v matrix never materializes next to v
-                vq = _qexpand_rows(v, qexpand_idx[:query_num])
-            else:
+            if qexpand_idx is None:
                 # NB: a slice is already a fresh device buffer in JAX — no
                 # jnp.array copy on top (that transient (q, n) double-alloc
                 # matters at the cliff)
@@ -167,7 +162,20 @@ def re_ranking_device(
             blocks = []
             for s0 in range(0, n, _MINPLUS_CHUNK):
                 if qexpand_idx is not None:
+                    # deferred s5: expanded rows are generated per slab from
+                    # v and consumed immediately by the kernel — the full
+                    # expanded-v matrix never materializes next to v
                     slab = _qexpand_rows(v, qexpand_idx[s0 : s0 + _MINPLUS_CHUNK])
+                    if s0 == 0:
+                        # the query rows are a prefix of slab 0: slice them
+                        # out (a fresh buffer, so the slab still frees)
+                        # instead of re-gathering/re-averaging the same rows
+                        # in a separate (q, k2)-shaped call — redundant
+                        # device work + one extra jit shape on the warm
+                        # path. Tests shrink _MINPLUS_CHUNK below q to hit
+                        # the fallback.
+                        vq = (slab[:query_num] if query_num <= slab.shape[0]
+                              else _qexpand_rows(v, qexpand_idx[:query_num]))
                 else:
                     slab = v[s0 : s0 + _MINPLUS_CHUNK]
                 blk = minplus_matmul(vq, slab, interpret=interpret)

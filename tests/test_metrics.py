@@ -281,12 +281,15 @@ def test_chunked_minplus_path_matches_whole_matrix(monkeypatch):
         R.re_ranking_device(*map(jnp.asarray, args), k1=5, k2=3,
                             interpret=True, staged=True)
     )
-    monkeypatch.setattr(R, "_MINPLUS_CHUNK", 16)  # force chunking at toy n
-    got = np.asarray(
-        R.re_ranking_device(*map(jnp.asarray, args), k1=5, k2=3,
-                            interpret=True, staged=True)
-    )
-    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    # chunk > q exercises the vq-from-slab-0 reuse; chunk < q the separate
+    # (q, k2)-shaped query-row expansion fallback
+    for chunk in (16, 8):
+        monkeypatch.setattr(R, "_MINPLUS_CHUNK", chunk)
+        got = np.asarray(
+            R.re_ranking_device(*map(jnp.asarray, args), k1=5, k2=3,
+                                interpret=True, staged=True)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
 def test_chunked_minplus_path_with_k2_1(monkeypatch):
