@@ -356,3 +356,35 @@ def test_cli_train_mesh_matches_single_device(tmp_path):
     assert abs(s1[steps[1]] - s2[steps[1]]) < 1e-2, "step-1 loss must match"
     assert 0.0 <= t1 <= 1.0 and 0.0 <= t2 <= 1.0
     assert (mesh / "checkpoint_best.npz").exists()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_resume_across_mesh_sizes(tmp_path):
+    """Elastic resume: a checkpoint written under one device count must
+    resume under a DIFFERENT one (pods shrink/grow between preemptions).
+    This works because checkpoints are mesh-agnostic host-side full state
+    (params/BN/luts/optimizer/epoch) and the loader re-shards per run —
+    pinned here so a future device-placed checkpoint format can't silently
+    break it. Grow (1 -> 4 devices) and shrink (4 -> 2) both continue the
+    epoch counter and train with finite losses."""
+    logs = tmp_path / "elastic"
+    run_train(tmp_path, logs, ["--epochs", "1", "-b", "8", "--devices", "1"])
+    ckpt = logs / "checkpoint.npz"
+    assert int(np.load(ckpt)["extra_epoch"]) == 1
+
+    # grow: resume the single-device checkpoint on the 4-device mesh
+    run_train(tmp_path, logs, ["--epochs", "2", "-b", "8", "--resume", str(ckpt)])
+    log = (logs / "log_train1.txt").read_text()
+    assert "data-parallel mesh over 4 devices" in log
+    losses = epoch_losses(logs / "log_train1.txt")
+    assert list(losses) == [1] and np.isfinite(losses[1])
+    assert int(np.load(ckpt)["extra_epoch"]) == 2
+
+    # shrink: resume the mesh checkpoint on 2 devices
+    run_train(tmp_path, logs,
+              ["--epochs", "3", "-b", "8", "--devices", "2", "--resume", str(ckpt)])
+    log = (logs / "log_train2.txt").read_text()
+    assert "data-parallel mesh over 2 devices" in log
+    losses = epoch_losses(logs / "log_train2.txt")
+    assert list(losses) == [2] and np.isfinite(losses[2])
+    assert int(np.load(ckpt)["extra_epoch"]) == 3
