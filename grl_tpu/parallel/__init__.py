@@ -10,6 +10,8 @@ from .mesh import (
 )
 from .multihost import (
     GlobalBatchLoader,
+    coordination_barrier,
+    establish_collectives,
     eval_catalog_meta,
     gather_striped_rows,
     global_batch_loader,
@@ -21,6 +23,8 @@ from .multihost import (
 
 __all__ = [
     "auto_mesh",
+    "coordination_barrier",
+    "establish_collectives",
     "data_mesh",
     "GlobalBatchLoader",
     "global_batch_loader",

@@ -60,8 +60,69 @@ def maybe_initialize_distributed():
         if os.environ.get("JAX_PROCESS_ID"):
             kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(**kwargs)
+        establish_collectives()
     elif os.environ.get("GRL_DISTRIBUTED_AUTODETECT") == "1":
         jax.distributed.initialize()
+        establish_collectives()
+
+
+def establish_collectives():
+    """Run one tiny barrier collective immediately after
+    ``jax.distributed.initialize``, while every process is still in
+    lockstep from the coordinator rendezvous.
+
+    The comm backend builds its cross-process transport lazily at the
+    FIRST collective (the CPU gloo backend opens its TCP full mesh there,
+    with a non-configurable connect timeout). Deferring that to the first
+    REAL collective — typically reached only after minutes of
+    per-process jit compiles whose durations skew between hosts — means
+    one process can sit in the transport handshake while a straggler is
+    still compiling, and time out (observed as "Gloo context
+    initialization failed: Connect timeout" on a contended 1-core CI
+    host). Establishing the mesh here, when inter-process skew is
+    milliseconds, lets every later collective reuse it. Harmless on TPU
+    pods (ICI/DCN), where a post-init barrier is standard practice
+    anyway."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("grl_tpu:establish_collectives")
+
+
+_BARRIER_SEQ = {}
+
+
+def coordination_barrier(name, timeout_s=600.0):
+    """Block until EVERY process reaches this barrier, via the
+    coordination service (a host RPC — no device collectives involved).
+    No-op single-process.
+
+    Use before entering a collective program after a phase whose duration
+    skews between hosts (large jit compiles with heterogeneous cache
+    state, catalog builds, ...): the comm backend creates communicators
+    lazily INSIDE the first program that uses them, with a short fixed
+    rendezvous deadline — the CPU gloo backend's KV-store GetKeyValue
+    times out at 30 s, observed in CI as "Gloo context initialization
+    failed: DEADLINE_EXCEEDED" whenever one 1-core worker compiled
+    ~minutes longer than its peer (establish_collectives cannot cover
+    this: later programs make FRESH communicators, e.g.
+    ``cpu:gloo/.../2``). This barrier's timeout IS configurable, so the
+    straggler wait happens here with slack instead of inside the 30 s
+    window.
+
+    Barrier ids are one-shot in the coordination service, so each
+    (name)'s uses are sequence-numbered — processes must call with the
+    same names in the same order, which barrier semantics require anyway.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    seq = _BARRIER_SEQ.get(name, 0)
+    _BARRIER_SEQ[name] = seq + 1
+    distributed.global_state.client.wait_at_barrier(
+        f"grl_tpu:{name}:{seq}", timeout_in_ms=int(timeout_s * 1000)
+    )
 
 
 def shard_catalog(tracklets, process_index=None, process_count=None):

@@ -257,6 +257,18 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # SYNCHRONOUS dispatch, for cross-process communicator determinism:
+    # XLA:CPU creates gloo communicator INSTANCES per concurrent in-flight
+    # collective program. With async dispatch the trainer's one-step-
+    # deferred metrics keep 2 steps in flight, and under CPU contention
+    # the two workers drift to DIFFERENT in-flight counts — one requests
+    # communicator .../2 while the other never does, deadlocking its
+    # 30 s gloo rendezvous ("GetKeyValue() timed out with key:
+    # cpu:gloo/0,1,2048,2049/2"; worker 1's log showed contexts /0 and /1
+    # fully connected). Sync dispatch runs one program at a time, so both
+    # workers enlist in the same communicator sequence. TPU pods are
+    # unaffected (their collectives don't rendezvous through gloo).
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
     from grl_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()  # share compiles across the 2x2 worker runs
@@ -267,6 +279,13 @@ def main():
     )
     assert jax.process_count() == args.num_processes
     assert jax.device_count() == 2 * args.num_processes
+    # establish the gloo TCP mesh NOW, while the two workers are in
+    # lockstep from the rendezvous — reaching the first collective after
+    # the (skewed, minutes-long on a contended core) model compiles blows
+    # gloo's fixed connect timeout (see parallel/multihost.py)
+    from grl_tpu.parallel.multihost import establish_collectives
+
+    establish_collectives()
 
     if args.mode == "train":
         mode_train(args)
