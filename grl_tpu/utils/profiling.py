@@ -62,14 +62,49 @@ class ThroughputMeter:
         return self.steps / self.elapsed if self.elapsed > 0 else 0.0
 
 
+def _machine_tag():
+    """Fingerprint of the host CPU feature set (+ jax version).
+
+    XLA:CPU AOT cache entries bake in the compiling host's CPU features
+    and the upstream cache key does NOT fully cover them: entries written
+    on a different host still load, with "Machine type used for XLA:CPU
+    compilation doesn't match ... could lead to execution errors such as
+    SIGILL" warnings, multi-second degraded loads, and — observed after a
+    VM migration — the two workers of a 2-process gloo run resolving
+    DIFFERENT communicator sequences and deadlocking their 30 s
+    rendezvous. Keying the cache directory by this tag keeps warm caches
+    warm on one machine and makes them cleanly cold after a migration."""
+    import hashlib
+    import platform
+
+    import jax
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):  # x86 / arm
+                    flags = line.strip()
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{flags}|{jax.__version__}"
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path=None):
     """Persist XLA compilations across processes (first full-model compile
-    on the tunneled TPU costs minutes; cached reloads cost seconds)."""
+    on the tunneled TPU costs minutes; cached reloads cost seconds).
+
+    The directory is partitioned by a host-CPU fingerprint — see
+    :func:`_machine_tag` for why stale-machine entries are poison."""
     import os
 
     import jax
 
-    path = path or os.path.join(os.path.expanduser("~"), ".cache", "grl_tpu_xla")
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "grl_tpu_xla", _machine_tag()
+    )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
