@@ -137,5 +137,10 @@ def build_parser():
     return parser
 
 
+def cli():
+    """Console-script entry point (pyproject [project.scripts])."""
+    return main(build_parser().parse_args())
+
+
 if __name__ == "__main__":
-    main(build_parser().parse_args())
+    cli()

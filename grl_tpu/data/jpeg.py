@@ -1,11 +1,13 @@
 """ctypes binding for the native JPEG decode+resize kernel.
 
-Builds ``native/jpeg_decoder.cpp`` on first use (g++ + libjpeg, ~1s),
-caches the .so next to the source, and falls back to PIL transparently if
-the toolchain or libjpeg is unavailable. ctypes foreign calls release the
-GIL, so the loader's thread pool decodes concurrently — the reason the
-reference needed multi-process DataLoader workers (dataloader.py:36,74)
-goes away.
+Builds ``grl_tpu/native/jpeg_decoder.cpp`` on first use (g++ + libjpeg,
+~1s), caching the .so next to the source — or, when the package
+directory is not writable (installed wheels in read-only site-packages),
+under ``$XDG_CACHE_HOME/grl_tpu`` — and falls back to PIL transparently
+if the toolchain or libjpeg is unavailable. ctypes foreign calls release
+the GIL, so the loader's thread pool decodes concurrently — the reason
+the reference needed multi-process DataLoader workers
+(dataloader.py:36,74) goes away.
 
 Decode output is bit-identical to PIL (both sit on libjpeg), and the
 native resize implements PIL's antialiased separable triangle-filter
@@ -24,8 +26,7 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))), "native")
-_SO_PATH = osp.join(_NATIVE_DIR, "libgrljpeg.so")
+_NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "native")
 _SRC_PATH = osp.join(_NATIVE_DIR, "jpeg_decoder.cpp")
 
 _lock = threading.Lock()
@@ -33,12 +34,46 @@ _lib = None
 _available = None
 
 
-def _build():
+def _so_candidates():
+    """Possible .so locations, in preference order: next to the source
+    (dev/repo layout), then the user cache dir (installed wheels whose
+    site-packages may be read-only)."""
+    yield osp.join(_NATIVE_DIR, "libgrljpeg.so")
+    cache = os.environ.get("XDG_CACHE_HOME") or osp.expanduser("~/.cache")
+    yield osp.join(cache, "grl_tpu", "libgrljpeg.so")
+
+
+def _build(out_path):
+    os.makedirs(osp.dirname(out_path), exist_ok=True)
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", _SRC_PATH, "-ljpeg", "-o", _SO_PATH],
+        ["g++", "-O3", "-shared", "-fPIC", _SRC_PATH, "-ljpeg", "-o", out_path],
         check=True,
         capture_output=True,
     )
+
+
+def _find_or_build():
+    """Return a loadable .so path, building into the first writable
+    candidate location if none is current."""
+    src_mtime = os.path.getmtime(_SRC_PATH) if osp.exists(_SRC_PATH) else None
+    for so in _so_candidates():
+        # a prebuilt .so without the source alongside (deployment without
+        # a toolchain) must load, not fall back to PIL — only compare
+        # mtimes when the source actually exists
+        if osp.exists(so) and (
+            src_mtime is None or os.path.getmtime(so) >= src_mtime
+        ):
+            return so
+    if src_mtime is None:
+        raise FileNotFoundError(_SRC_PATH)
+    err = None
+    for so in _so_candidates():
+        try:
+            _build(so)
+            return so
+        except (OSError, subprocess.CalledProcessError) as e:
+            err = e  # read-only dir or failed compile: try the next one
+    raise err
 
 
 def _load():
@@ -47,15 +82,7 @@ def _load():
         if _available is not None:
             return _available
         try:
-            # a prebuilt .so without the source alongside (deployment
-            # without a toolchain) must load, not fall back to PIL — only
-            # compare mtimes when the source actually exists
-            if not osp.exists(_SO_PATH) or (
-                osp.exists(_SRC_PATH)
-                and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
-            ):
-                _build()
-            lib = ctypes.CDLL(_SO_PATH)
+            lib = ctypes.CDLL(_find_or_build())
             lib.grl_decode_resize.restype = ctypes.c_int
             lib.grl_decode_resize.argtypes = [
                 ctypes.c_char_p,

@@ -98,6 +98,32 @@ def test_native_jpeg_decode(tmp_path):
         assert np.array_equal(out, pil)  # decode path is bit-exact
 
 
+def test_native_build_falls_back_to_cache_dir(tmp_path, monkeypatch):
+    """Installed wheels can sit in read-only site-packages: when building
+    the .so next to the packaged source fails, the build must fall back
+    to the user cache dir candidate (grl_tpu/data/jpeg.py
+    ``_so_candidates``). Simulated by making the first candidate's parent
+    an existing FILE (os.makedirs then raises — root ignores permission
+    bits, so a chmod-based simulation wouldn't fail)."""
+    import pytest
+
+    from grl_tpu.data import jpeg
+
+    if not jpeg.native_available():
+        pytest.skip("native toolchain unavailable")
+    blocked = tmp_path / "blocked"
+    blocked.write_text("not a directory")
+    good = tmp_path / "cache" / "libgrljpeg.so"
+    monkeypatch.setattr(
+        jpeg, "_so_candidates",
+        lambda: iter([str(blocked / "libgrljpeg.so"), str(good)]),
+    )
+    assert jpeg._find_or_build() == str(good)
+    assert good.exists()
+    # and an up-to-date prebuilt candidate short-circuits the build
+    assert jpeg._find_or_build() == str(good)
+
+
 def test_native_resize_matches_pil(tmp_path):
     """The native resample must be bit-identical to PIL BILINEAR on real
     up- AND downscaling (antialiased triangle filter, 8.22 fixed point) —
