@@ -89,7 +89,7 @@ def wait_all(procs, tmp_path, mode, timeout):
 @pytest.mark.slow
 def test_two_process_training_matches_single_process_replay(tmp_path):
     procs = spawn_workers(tmp_path, "train", free_port())
-    wait_all(procs, tmp_path, "train", timeout=900)
+    wait_all(procs, tmp_path, "train", timeout=1800)
 
     b0 = np.load(tmp_path / "batches_0.npz")
     b1 = np.load(tmp_path / "batches_1.npz")
@@ -165,7 +165,7 @@ def test_two_process_striped_eval_matches_single_host(tmp_path):
     processes. Each worker also evaluates the full catalogs single-host
     and the rank-1 results must agree."""
     procs = spawn_workers(tmp_path, "eval", free_port())
-    wait_all(procs, tmp_path, "eval", timeout=900)
+    wait_all(procs, tmp_path, "eval", timeout=1800)
     r0 = json.loads((tmp_path / "eval_0.json").read_text())
     r1 = json.loads((tmp_path / "eval_1.json").read_text())
     # the striped protocol is collective: both processes see one result
@@ -178,7 +178,7 @@ def test_two_process_striped_eval_matches_single_host(tmp_path):
 def test_sigterm_to_one_process_stops_both(tmp_path):
     procs = spawn_workers(tmp_path, "preempt", free_port())
     # wait until BOTH workers are compiled and through >= 1 epoch
-    deadline = time.time() + 900
+    deadline = time.time() + 1800
     while time.time() < deadline and not all(
         osp.exists(tmp_path / f"ready_{i}") for i in range(2)
     ):
@@ -189,7 +189,7 @@ def test_sigterm_to_one_process_stops_both(tmp_path):
 
     # SIGTERM ONLY process 1 — process 0 must stop via the collective
     procs[1][0].send_signal(signal.SIGTERM)
-    wait_all(procs, tmp_path, "preempt", timeout=600)
+    wait_all(procs, tmp_path, "preempt", timeout=1200)
 
     r0 = json.loads((tmp_path / "preempt_0.json").read_text())
     r1 = json.loads((tmp_path / "preempt_1.json").read_text())
