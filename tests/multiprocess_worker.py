@@ -243,6 +243,19 @@ def mode_preempt(args):
 
 
 def main():
+    # die with the spawning pytest: wait_all() kills workers on ITS
+    # timeout, but an outer kill of pytest itself (CI runner timeout)
+    # used to orphan both workers — two live jax processes holding a
+    # gloo mesh and stealing the single core from every subsequent run.
+    # Set here (single-threaded, straight after exec) rather than via a
+    # Popen preexec_fn, which is fork-unsafe under a threaded parent.
+    import ctypes
+
+    PR_SET_PDEATHSIG = 1
+    ctypes.CDLL("libc.so.6", use_errno=True).prctl(
+        PR_SET_PDEATHSIG, signal.SIGKILL
+    )
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--num-processes", type=int, default=2)
