@@ -96,7 +96,10 @@ def rank(args):
     q = np.load(args.query)
     g = np.load(args.gallery)
     qf, gf = q["features"], g["features"]
-    distmat = np.asarray(cosine_distance(jnp.asarray(qf), jnp.asarray(gf)))
+    # device-resident until the rerank decision: pulling the (q, g) matrix
+    # to host only to re-upload it for device re-ranking costs two full
+    # transfers (~80 s at 2k x 20k on a slow tunnel link)
+    distmat_d = cosine_distance(jnp.asarray(qf), jnp.asarray(gf))
     if args.rerank:
         # same backend dispatch as the evaluator: the device path (MXU set
         # algebra + Pallas min-sum) is seconds where host numpy is minutes
@@ -114,11 +117,17 @@ def rank(args):
             # distance matrices only free once no python frame references
             # them — holding gg (~4 GB fp32 at LS-VID scale) through the
             # stages OOMs reduced-ceiling sessions
-            box = [jnp.asarray(distmat), qq, gg]
-            qq = gg = distmat = None
+            box = [distmat_d, qq, gg]
+            qq = gg = distmat_d = None
             distmat = np.asarray(re_ranking_device(inputs_box=box))
         else:
-            distmat = re_ranking(distmat, np.asarray(qq), np.asarray(gg))
+            distmat = re_ranking(
+                np.asarray(distmat_d), np.asarray(qq), np.asarray(gg)
+            )
+            distmat_d = None
+    else:
+        distmat = np.asarray(distmat_d)
+        distmat_d = None
     topk = min(args.topk, gf.shape[0])
     order = np.argsort(distmat, axis=1)[:, :topk]
     results = [
@@ -199,6 +208,11 @@ def main(args):
     from ..utils.profiling import enable_compilation_cache
 
     if args.command == "rank":
+        # rank needs the persistent cache MOST: --rerank past n=16384
+        # compiles the six n^2-scale staged programs (~minutes cold,
+        # docs/PERFORMANCE.md), and serving invocations are one-shot
+        # processes
+        enable_compilation_cache()
         return rank(args)
     maybe_initialize_distributed()  # must precede any backend init
     enable_compilation_cache()
@@ -206,8 +220,12 @@ def main(args):
 
 
 def cli():
-    """Console-script entry point (pyproject [project.scripts])."""
-    return main(build_parser().parse_args())
+    """Console-script entry point (pyproject [project.scripts]).
+
+    Swallows main()'s python-API return value: the pip wrapper runs
+    ``sys.exit(cli())``, and sys.exit treats any non-None, non-int value
+    (a float top1, a results list) as failure with the repr on stderr."""
+    main(build_parser().parse_args())
 
 
 if __name__ == "__main__":

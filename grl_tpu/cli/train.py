@@ -438,8 +438,12 @@ def build_parser():
 
 
 def cli():
-    """Console-script entry point (pyproject [project.scripts])."""
-    return main(build_parser().parse_args())
+    """Console-script entry point (pyproject [project.scripts]).
+
+    Swallows main()'s python-API return value (the best/eval top1
+    float): the pip wrapper runs ``sys.exit(cli())``, and sys.exit
+    treats any non-None, non-int value as failure-with-message."""
+    main(build_parser().parse_args())
 
 
 if __name__ == "__main__":

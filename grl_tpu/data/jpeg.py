@@ -34,13 +34,14 @@ _lib = None
 _available = None
 
 
-def _so_candidates():
+def _so_candidates(digest):
     """Possible .so locations, in preference order: next to the source
     (dev/repo layout), then the user cache dir (installed wheels whose
     site-packages may be read-only)."""
-    yield osp.join(_NATIVE_DIR, "libgrljpeg.so")
+    name = f"libgrljpeg-{digest}.so"
+    yield osp.join(_NATIVE_DIR, name)
     cache = os.environ.get("XDG_CACHE_HOME") or osp.expanduser("~/.cache")
-    yield osp.join(cache, "grl_tpu", "libgrljpeg.so")
+    yield osp.join(cache, "grl_tpu", name)
 
 
 def _build(out_path):
@@ -54,20 +55,32 @@ def _build(out_path):
 
 def _find_or_build():
     """Return a loadable .so path, building into the first writable
-    candidate location if none is current."""
-    src_mtime = os.path.getmtime(_SRC_PATH) if osp.exists(_SRC_PATH) else None
-    for so in _so_candidates():
-        # a prebuilt .so without the source alongside (deployment without
-        # a toolchain) must load, not fall back to PIL — only compare
-        # mtimes when the source actually exists
-        if osp.exists(so) and (
-            src_mtime is None or os.path.getmtime(so) >= src_mtime
-        ):
-            return so
-    if src_mtime is None:
+    candidate location when none exists yet.
+
+    The filename carries a hash of the SOURCE CONTENT. An mtime freshness
+    check is wrong here twice over: pip preserves wheel-archive
+    timestamps, so after an upgrade the packaged source can be OLDER than
+    a .so built from the previous version (which would then keep loading
+    — wrong numerics, or a segfault on an ABI-changed symbol), and one
+    shared $HOME cache must serve venvs/checkouts pinned at different
+    versions. Content-addressing solves both; stale-version files are a
+    few hundred KB and simply stop being referenced."""
+    if not osp.exists(_SRC_PATH):
+        # prebuilt deployment without source or toolchain: load the
+        # plain-named kernel as-is rather than falling back to PIL
+        legacy = osp.join(_NATIVE_DIR, "libgrljpeg.so")
+        if osp.exists(legacy):
+            return legacy
         raise FileNotFoundError(_SRC_PATH)
+    import hashlib
+
+    with open(_SRC_PATH, "rb") as f:
+        digest = hashlib.sha1(f.read()).hexdigest()[:10]
+    for so in _so_candidates(digest):
+        if osp.exists(so):
+            return so
     err = None
-    for so in _so_candidates():
+    for so in _so_candidates(digest):
         try:
             _build(so)
             return so

@@ -60,10 +60,28 @@ def maybe_initialize_distributed():
         if os.environ.get("JAX_PROCESS_ID"):
             kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(**kwargs)
+        _harden_cpu_gloo()
         establish_collectives()
     elif os.environ.get("GRL_DISTRIBUTED_AUTODETECT") == "1":
         jax.distributed.initialize()
+        _harden_cpu_gloo()
         establish_collectives()
+
+
+def _harden_cpu_gloo():
+    """Disable async dispatch when the CPU gloo collectives backend is
+    configured (before the first collective runs).
+
+    XLA:CPU creates gloo communicator INSTANCES per concurrent in-flight
+    collective program. With async dispatch, processes whose pipelines
+    drift to different in-flight counts rendezvous on communicator
+    instances their peers never create — a 30 s GetKeyValue deadlock,
+    reproduced in the 2-process tests ("cpu:gloo/.../2" requested by one
+    worker only). Synchronous dispatch keeps every process's communicator
+    sequence identical. TPU/GPU backends are untouched (their collectives
+    don't rendezvous through gloo)."""
+    if jax.config.jax_cpu_collectives_implementation == "gloo":
+        jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 
 def establish_collectives():

@@ -108,6 +108,13 @@ def mode_train(args):
     from grl_tpu.engine.trainer import Trainer
 
     ds, rec, glob, mesh, ts, step = build(args, limit=2)
+    from grl_tpu.parallel import coordination_barrier
+
+    # lockstep re-entry before the first post-build collective: build()
+    # durations skew between workers on a contended core, and the gloo
+    # communicator rendezvous inside the next collective has a fixed 30 s
+    # window (parallel/multihost.py::coordination_barrier)
+    coordination_barrier("post_build", timeout_s=1200)
 
     # (iii) equal step caps: every process computes the same UNCAPPED
     # epoch length locally (min_shard_size), checked collectively
@@ -184,6 +191,13 @@ def mode_eval(args):
     p, s = {"cnn": cp, "siamese": sp}, {"cnn": cs, "siamese": ss}
 
     mesh = data_mesh(4)
+    from grl_tpu.parallel import coordination_barrier
+
+    # lockstep re-entry before the first post-build collective: build()
+    # durations skew between workers on a contended core, and the gloo
+    # communicator rendezvous inside the next collective has a fixed 30 s
+    # window (parallel/multihost.py::coordination_barrier)
+    coordination_barrier("post_build", timeout_s=1200)
     multihost = {"query": eval_catalog_meta(ds.query),
                  "gallery": eval_catalog_meta(ds.gallery)}
     striped = Evaluator(cnn, sia, micro_batch=8, mesh=mesh).evaluate(
@@ -215,6 +229,13 @@ def mode_preempt(args):
     signal.signal(signal.SIGTERM, handler)
 
     ds, rec, glob, mesh, ts, step = build(args)
+    from grl_tpu.parallel import coordination_barrier
+
+    # lockstep re-entry before the first post-build collective: build()
+    # durations skew between workers on a contended core, and the gloo
+    # communicator rendezvous inside the next collective has a fixed 30 s
+    # window (parallel/multihost.py::coordination_barrier)
+    coordination_barrier("post_build", timeout_s=1200)
     trainer = Trainer(step, seed=0, mesh=mesh, print_freq=1000, stop_event=stop)
 
     max_epochs = 200

@@ -116,7 +116,7 @@ def test_native_build_falls_back_to_cache_dir(tmp_path, monkeypatch):
     good = tmp_path / "cache" / "libgrljpeg.so"
     monkeypatch.setattr(
         jpeg, "_so_candidates",
-        lambda: iter([str(blocked / "libgrljpeg.so"), str(good)]),
+        lambda digest: iter([str(blocked / f"lib{digest}.so"), str(good)]),
     )
     assert jpeg._find_or_build() == str(good)
     assert good.exists()
