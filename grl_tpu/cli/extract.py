@@ -157,6 +157,104 @@ def rank(args):
     return results
 
 
+def export_model(args):
+    """Serialize the descriptor program as a self-contained AOT artifact.
+
+    ``jax.export`` captures the jitted descriptor computation (uint8
+    clips -> 6144-d descriptors) as StableHLO with the checkpoint's
+    weights baked in as constants. The artifact is loadable with ONLY
+    jax installed — no grl_tpu model code, no checkpoint, no retracing —
+    which is the shape production serving wants (and what the reference,
+    which couples extraction to its benchmark script, has no answer to).
+    Batch is fixed at export time; ``describe`` pads the final chunk."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from ..data.transforms import normalize
+    from ..engine.optim import SGD
+    from ..engine.train_step import init_train_state
+    from ..utils.serialization import load_train_state
+    from .train import build_models, state_to_device
+
+    cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
+    template = init_train_state(
+        jax.random.PRNGKey(args.seed), cnn, siamese, siamese_uncorr,
+        args.num_classes, num_feat=cnn.num_feat, optimizer=SGD(),
+    )
+    ckpt = args.checkpoint or osp.join(args.logs_dir, "checkpoint_best.npz")
+    state, _ = load_train_state(template, ckpt)
+    state = state_to_device(state)
+    print(f"loaded {ckpt}")
+    params, mstate = state["params"], state["model_state"]
+    cp, cs = params["cnn"], mstate["cnn"]
+    sp, ss = params["siamese"], mstate["siamese"]
+
+    def describe(clips_u8):
+        # identical math to Evaluator._build_descriptor, weights closed
+        # over (they serialize as constants inside the artifact)
+        clips = normalize(clips_u8)
+        (x_uncorr, x_corr), _ = cnn.apply(cp, cs, clips, training=False)
+        pooled, _ = siamese.self_attention(sp, ss, x_corr, training=False)
+        return jnp.concatenate([x_uncorr, pooled, jnp.mean(x_corr, axis=1)], axis=1)
+
+    channels = 6 if args.use_flow else 3
+    spec = jax.ShapeDtypeStruct(
+        (args.batch, args.seq_len, args.height, args.width, channels), jnp.uint8
+    )
+    platforms = args.platforms.split(",") if args.platforms else None
+    exp = jexport.export(jax.jit(describe), platforms=platforms)(spec)
+    blob = exp.serialize()
+    meta = {
+        "batch": args.batch, "seq_len": args.seq_len, "height": args.height,
+        "width": args.width, "channels": channels,
+        "platforms": list(exp.platforms), "dim": int(3 * cnn.num_feat),
+    }
+    np.savez(args.out, exported=np.frombuffer(blob, np.uint8),
+             meta=json.dumps(meta))
+    print(f"exported descriptor program ({len(blob) / 1e6:.1f} MB, "
+          f"platforms {list(exp.platforms)}, batch {args.batch}) to {args.out}")
+    return meta
+
+
+def describe_with_export(args):
+    """Run clips through an ``export-model`` artifact: clips npz
+    (``clips`` (n, S, h, w, c) uint8, optional ``pids``/``camids``
+    passthrough) -> descriptor npz. Needs only jax at runtime."""
+    from jax import export as jexport
+
+    with np.load(args.model, allow_pickle=False) as z:
+        blob = z["exported"].tobytes()
+        meta = json.loads(str(z["meta"]))
+    exp = jexport.deserialize(blob)
+    src = np.load(args.clips)
+    clips = src["clips"]
+    expect = (meta["seq_len"], meta["height"], meta["width"], meta["channels"])
+    if clips.shape[1:] != expect:
+        raise SystemExit(
+            f"clips shaped {clips.shape[1:]} but the artifact was exported "
+            f"for {expect} (seq_len, height, width, channels)"
+        )
+    batch = meta["batch"]
+    n = clips.shape[0]
+    feats = []
+    for i in range(0, n, batch):
+        chunk = clips[i : i + batch]
+        size = chunk.shape[0]
+        if size < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - size,) + chunk.shape[1:], chunk.dtype)]
+            )
+        feats.append(np.asarray(exp.call(chunk))[:size])
+    out = {"features": np.concatenate(feats, axis=0).astype(np.float32)}
+    for k in ("pids", "camids"):
+        if k in src.files:
+            out[k] = src[k]
+    np.savez(args.out, **out)
+    print(f"wrote {n} x {out['features'].shape[1]} descriptors to {args.out}")
+    return out["features"].shape
+
+
 def build_parser():
     from ..config import ExperimentConfig
 
@@ -200,6 +298,47 @@ def build_parser():
     r.add_argument("--topk", type=int, default=10)
     r.add_argument("--rerank", action="store_true")
     r.add_argument("-o", "--out", type=str, required=True)
+
+    e = sub.add_parser(
+        "export-model",
+        help="serialize the descriptor program (weights baked in) as a "
+             "jax.export artifact runnable with only jax installed",
+    )
+    e.add_argument("--logs-dir", type=str, default="log/grl")
+    e.add_argument("--checkpoint", type=str, default="",
+                   help="explicit checkpoint (default: logs-dir/checkpoint_best.npz)")
+    e.add_argument("--num-classes", type=int, default=625,
+                   help="train-id count baked into the checkpoint's OIM "
+                        "tables (MARS: 625 — printed in the dataset stats "
+                        "banner at train time); a wrong value fails the "
+                        "checkpoint load with a shape mismatch")
+    e.add_argument("--batch", type=int, default=cfg.eval.micro_batch,
+                   help="fixed clip batch the program is exported at "
+                        "(describe pads the final chunk)")
+    e.add_argument("--seq_len", type=int, default=cfg.data.seq_len)
+    e.add_argument("--height", type=int, default=cfg.data.height)
+    e.add_argument("--width", type=int, default=cfg.data.width)
+    e.add_argument("--platforms", type=str, default="",
+                   help="comma-separated lowering targets, e.g. 'tpu' or "
+                        "'cpu,tpu' (default: the current backend)")
+    e.add_argument("--arch1", type=str, default=cfg.model.arch1)
+    e.add_argument("--arch2", type=str, default=cfg.model.arch2)
+    e.add_argument("--bf16", action="store_true")
+    e.add_argument("--tiny", action="store_true")
+    e.add_argument("--use-flow", action="store_true")
+    e.add_argument("--seed", type=int, default=cfg.seed)
+    e.add_argument("-o", "--out", type=str, required=True)
+
+    d = sub.add_parser(
+        "describe",
+        help="run a clips .npz through an export-model artifact "
+             "(needs only jax — no model code, no checkpoint)",
+    )
+    d.add_argument("--model", type=str, required=True)
+    d.add_argument("--clips", type=str, required=True,
+                   help=".npz with 'clips' (n, seq_len, h, w, c) uint8 "
+                        "(+ optional pids/camids, passed through)")
+    d.add_argument("-o", "--out", type=str, required=True)
     return parser
 
 
@@ -214,6 +353,11 @@ def main(args):
         # processes
         enable_compilation_cache()
         return rank(args)
+    if args.command == "export-model":
+        return export_model(args)
+    if args.command == "describe":
+        enable_compilation_cache()  # the deserialized call compiles once
+        return describe_with_export(args)
     maybe_initialize_distributed()  # must precede any backend init
     enable_compilation_cache()
     return extract_split(args)

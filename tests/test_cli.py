@@ -358,6 +358,60 @@ def test_cli_train_mesh_matches_single_device(tmp_path):
     assert (mesh / "checkpoint_best.npz").exists()
 
 
+def test_export_model_describe_matches_evaluator(tmp_path):
+    """The AOT serving artifact must reproduce the Evaluator's descriptor
+    math exactly: train a tiny checkpoint, `extract export-model` it
+    (weights baked into the jax.export blob), run random clips through
+    `extract describe` (which needs no model code), and compare with
+    Evaluator.describe_clips on the same checkpoint. Six clips against a
+    batch-4 export also covers the final-chunk padding path."""
+    from types import SimpleNamespace
+
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+
+    logs = tmp_path / "run"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+    ckpt = logs / "checkpoint.npz"
+
+    model = tmp_path / "model.npz"
+    extract_main(extract_parser().parse_args([
+        "export-model", "--checkpoint", str(ckpt), "--tiny",
+        "--num-classes", "4", "--batch", "4", "--seq_len", "2",
+        "--height", "64", "--width", "32", "-o", str(model),
+    ]))
+
+    rng = np.random.RandomState(0)
+    clips = rng.randint(0, 256, (6, 2, 64, 32, 3), np.uint8)
+    np.savez(tmp_path / "clips.npz", clips=clips, pids=np.arange(6))
+    out = tmp_path / "feats.npz"
+    extract_main(extract_parser().parse_args([
+        "describe", "--model", str(model),
+        "--clips", str(tmp_path / "clips.npz"), "-o", str(out),
+    ]))
+    got = np.load(out)
+    assert list(got["pids"]) == list(range(6))  # passthrough
+
+    from grl_tpu.cli.train import build_models, state_to_device
+    from grl_tpu.engine.evaluator import Evaluator
+    from grl_tpu.engine.optim import SGD
+    from grl_tpu.engine.train_step import init_train_state
+    from grl_tpu.utils.serialization import load_train_state
+
+    ns = SimpleNamespace(bf16=False, use_flow=False, arch2="siamese")
+    cnn, sia, unc = build_models(ns, tiny=True)
+    template = init_train_state(
+        jax.random.PRNGKey(0), cnn, sia, unc, 4, cnn.num_feat, SGD()
+    )
+    state, _ = load_train_state(template, str(ckpt))
+    state = state_to_device(state)
+    ev = Evaluator(cnn, sia, micro_batch=4)
+    chunks = ev.describe_clips(state["params"], state["model_state"], clips)
+    ref = np.concatenate([np.asarray(d)[:sz] for d, sz in chunks])
+    assert got["features"].shape == ref.shape == (6, 3 * cnn.num_feat)
+    np.testing.assert_allclose(got["features"], ref, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_resume_across_mesh_sizes(tmp_path):
     """Elastic resume: a checkpoint written under one device count must
