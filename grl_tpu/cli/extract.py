@@ -167,15 +167,17 @@ def export_model(args):
     which is the shape production serving wants (and what the reference,
     which couples extraction to its benchmark script, has no answer to).
     Batch is fixed at export time; ``describe`` pads the final chunk."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from ..data.transforms import normalize
+    from ..engine.evaluator import make_descriptor_fn
     from ..engine.optim import SGD
     from ..engine.train_step import init_train_state
     from ..utils.serialization import load_train_state
-    from .train import build_models, state_to_device
+    from .train import build_models
 
     cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
     template = init_train_state(
@@ -183,26 +185,25 @@ def export_model(args):
         args.num_classes, num_feat=cnn.num_feat, optimizer=SGD(),
     )
     ckpt = args.checkpoint or osp.join(args.logs_dir, "checkpoint_best.npz")
+    # host numpy leaves, deliberately: export traces on host constants, so
+    # device_put-ing the whole train state would round-trip hundreds of MB
+    # over the accelerator link for nothing
     state, _ = load_train_state(template, ckpt)
-    state = state_to_device(state)
     print(f"loaded {ckpt}")
     params, mstate = state["params"], state["model_state"]
-    cp, cs = params["cnn"], mstate["cnn"]
-    sp, ss = params["siamese"], mstate["siamese"]
 
-    def describe(clips_u8):
-        # identical math to Evaluator._build_descriptor, weights closed
-        # over (they serialize as constants inside the artifact)
-        clips = normalize(clips_u8)
-        (x_uncorr, x_corr), _ = cnn.apply(cp, cs, clips, training=False)
-        pooled, _ = siamese.self_attention(sp, ss, x_corr, training=False)
-        return jnp.concatenate([x_uncorr, pooled, jnp.mean(x_corr, axis=1)], axis=1)
+    # weights closed over the shared descriptor recipe (they serialize as
+    # constants inside the artifact)
+    describe = functools.partial(
+        make_descriptor_fn(cnn, siamese),
+        params["cnn"], mstate["cnn"], params["siamese"], mstate["siamese"],
+    )
 
     channels = 6 if args.use_flow else 3
     spec = jax.ShapeDtypeStruct(
         (args.batch, args.seq_len, args.height, args.width, channels), jnp.uint8
     )
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = [p.strip() for p in args.platforms.split(",") if p.strip()] or None
     exp = jexport.export(jax.jit(describe), platforms=platforms)(spec)
     blob = exp.serialize()
     meta = {
@@ -235,6 +236,13 @@ def describe_with_export(args):
             f"clips shaped {clips.shape[1:]} but the artifact was exported "
             f"for {expect} (seq_len, height, width, channels)"
         )
+    if clips.dtype != np.uint8:
+        raise SystemExit(
+            f"clips dtype {clips.dtype} but the artifact expects uint8 raw "
+            "frames (normalization happens inside the exported program)"
+        )
+    if clips.shape[0] == 0:
+        raise SystemExit("clips array is empty (0 clips)")
     batch = meta["batch"]
     n = clips.shape[0]
     feats = []

@@ -42,6 +42,22 @@ def cosine_distance(qf, gf):
 # the whole eval are the CMC/mAP scalars.
 
 
+def make_descriptor_fn(cnn, siamese):
+    """The 6144-d descriptor recipe (reference attevaluator.py:77-80):
+    normalize -> CNN -> attention-pooled corr -> concat[x_uncorr, pooled,
+    mean-over-t corr]. The SINGLE source of truth for this parity-critical
+    math — used by the Evaluator's jitted descriptor AND the AOT serving
+    export (cli/extract.py export-model); CI pins the two equal."""
+
+    def describe(cnn_params, cnn_state, sia_params, sia_state, clips_u8):
+        clips = normalize(clips_u8)
+        (x_uncorr, x_corr), _ = cnn.apply(cnn_params, cnn_state, clips, training=False)
+        pooled, _ = siamese.self_attention(sia_params, sia_state, x_corr, training=False)
+        return jnp.concatenate([x_uncorr, pooled, jnp.mean(x_corr, axis=1)], axis=1)
+
+    return describe
+
+
 @partial(jax.jit, donate_argnums=0)
 def _write_rows(buf, rows, offset):
     """Write ``rows`` into the donated feature buffer at row ``offset``.
@@ -89,15 +105,7 @@ class Evaluator:
     # -- descriptor ------------------------------------------------------
 
     def _build_descriptor(self):
-        cnn, siamese = self.cnn, self.siamese
-
-        def describe(cnn_params, cnn_state, sia_params, sia_state, clips_u8):
-            clips = normalize(clips_u8)
-            (x_uncorr, x_corr), _ = cnn.apply(cnn_params, cnn_state, clips, training=False)
-            pooled, _ = siamese.self_attention(sia_params, sia_state, x_corr, training=False)
-            return jnp.concatenate([x_uncorr, pooled, jnp.mean(x_corr, axis=1)], axis=1)
-
-        return jax.jit(describe)
+        return jax.jit(make_descriptor_fn(self.cnn, self.siamese))
 
     def _bucket(self, size):
         """Smallest jit bucket (micro_batch, its half, or its third)

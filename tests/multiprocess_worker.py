@@ -306,30 +306,17 @@ def main():
     from grl_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()  # share compiles across the 2x2 worker runs
-    if os.environ.get("GRL_TEST_ENV_INIT") == "1":
-        # the PRODUCTION init contract: coordinator + process identity
-        # from env vars, through the library's own entry — this is how a
-        # real pod launcher starts grl_tpu, and it must carry the same
-        # hardening (gloo sync dispatch + early collective establishment)
-        os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{args.port}"
-        os.environ["JAX_NUM_PROCESSES"] = str(args.num_processes)
-        os.environ["JAX_PROCESS_ID"] = str(args.process_id)
-        from grl_tpu.parallel import maybe_initialize_distributed
+    # ALWAYS the PRODUCTION init contract: coordinator + process identity
+    # from env vars through the library's own entry — the path a real pod
+    # launcher takes, carrying the gloo sync-dispatch hardening and the
+    # early collective establishment (the gloo TCP mesh must build while
+    # the workers are in rendezvous lockstep; multihost.py)
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{args.port}"
+    os.environ["JAX_NUM_PROCESSES"] = str(args.num_processes)
+    os.environ["JAX_PROCESS_ID"] = str(args.process_id)
+    from grl_tpu.parallel import maybe_initialize_distributed
 
-        maybe_initialize_distributed()
-    else:
-        jax.distributed.initialize(
-            coordinator_address=f"localhost:{args.port}",
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
-        # establish the gloo TCP mesh NOW, while the two workers are in
-        # lockstep from the rendezvous — reaching the first collective
-        # after the (skewed, minutes-long on a contended core) model
-        # compiles blows gloo's fixed connect timeout (multihost.py)
-        from grl_tpu.parallel.multihost import establish_collectives
-
-        establish_collectives()
+    maybe_initialize_distributed()
     assert jax.process_count() == args.num_processes
     assert jax.device_count() == 2 * args.num_processes
 

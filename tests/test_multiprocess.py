@@ -37,13 +37,8 @@ def free_port():
         return s.getsockname()[1]
 
 
-def spawn_workers(tmp_path, mode, port, env_init=False):
-    """``env_init=True`` starts the workers through the PRODUCTION init
-    contract (JAX_COORDINATOR_ADDRESS/-NUM_PROCESSES/-PROCESS_ID env ->
-    parallel.maybe_initialize_distributed) instead of an explicit
-    jax.distributed.initialize call."""
+def spawn_workers(tmp_path, mode, port):
     procs = []
-    env = dict(os.environ, GRL_TEST_ENV_INIT="1") if env_init else None
     for pid in range(2):
         log = open(tmp_path / f"worker_{mode}_{pid}.log", "w")
         procs.append(
@@ -66,7 +61,6 @@ def spawn_workers(tmp_path, mode, port, env_init=False):
                     stdout=log,
                     stderr=subprocess.STDOUT,
                     cwd=osp.dirname(WORKER),
-                    env=env,
                 ),
                 log,
             )
@@ -170,11 +164,7 @@ def test_two_process_striped_eval_matches_single_host(tmp_path):
     arrays, and the distance matmul + device protocol run SPMD over both
     processes. Each worker also evaluates the full catalogs single-host
     and the rank-1 results must agree."""
-    # env_init: this test doubles as coverage of the production
-    # JAX_COORDINATOR_ADDRESS env contract (maybe_initialize_distributed
-    # + its gloo hardening), which the other two modes bypass via the
-    # explicit initialize call
-    procs = spawn_workers(tmp_path, "eval", free_port(), env_init=True)
+    procs = spawn_workers(tmp_path, "eval", free_port())
     wait_all(procs, tmp_path, "eval", timeout=1800)
     r0 = json.loads((tmp_path / "eval_0.json").read_text())
     r1 = json.loads((tmp_path / "eval_1.json").read_text())
