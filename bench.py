@@ -22,6 +22,7 @@ earlier series stays comparable.
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +38,7 @@ H, W = 256, 128
 
 
 def main():
-    from grl_tpu.utils.profiling import enable_compilation_cache
+    from grl_tpu.utils.profiling import descriptor_compiler_options, enable_compilation_cache
 
     enable_compilation_cache()
     from grl_tpu import models
@@ -51,7 +52,7 @@ def main():
     params, state = cnn.init(rng)
     sp, ss = siamese.init(jax.random.PRNGKey(1))
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=descriptor_compiler_options())
     def describe(params, state, sp, ss, clips_u8):
         clips = normalize(clips_u8)
         (x_uncorr, x_corr), _ = cnn.apply(params, state, clips, training=False)

@@ -105,7 +105,12 @@ class Evaluator:
     # -- descriptor ------------------------------------------------------
 
     def _build_descriptor(self):
-        return jax.jit(make_descriptor_fn(self.cnn, self.siamese))
+        from ..utils.profiling import descriptor_compiler_options
+
+        return jax.jit(
+            make_descriptor_fn(self.cnn, self.siamese),
+            compiler_options=descriptor_compiler_options(),
+        )
 
     def _bucket(self, size):
         """Smallest jit bucket (micro_batch, its half, or its third)

@@ -62,6 +62,23 @@ class ThroughputMeter:
         return self.steps / self.elapsed if self.elapsed > 0 else 0.0
 
 
+def descriptor_compiler_options():
+    """Compiler options for the eval/serving descriptor program.
+
+    Measured on v5e (tools/sweep_compiler_options.py, alternating trials):
+    a 32 MiB scoped-VMEM limit lifts descriptor throughput ~1.5% (median
+    1114 vs 1096 clips/s at micro-batch 96); 64/96 MiB regress, and the
+    TRAIN step is slightly slower under 32 MiB
+    (tools/sweep_train_compiler_options.py), so only the descriptor jit
+    uses this. ``xla_tpu_*`` options fail non-TPU compiles — None there.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+
+
 def _machine_tag():
     """Fingerprint of the host CPU feature set (+ jax version).
 
