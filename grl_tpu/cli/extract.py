@@ -222,6 +222,7 @@ def describe_with_export(args):
     """Run clips through an ``export-model`` artifact: clips npz
     (``clips`` (n, S, h, w, c) uint8, optional ``pids``/``camids``
     passthrough) -> descriptor npz. Needs only jax at runtime."""
+    import jax
     from jax import export as jexport
 
     with np.load(args.model, allow_pickle=False) as z:
@@ -245,6 +246,12 @@ def describe_with_export(args):
         raise SystemExit("clips array is empty (0 clips)")
     batch = meta["batch"]
     n = clips.shape[0]
+    # one jitted wrapper: every chunk is padded to the export batch, so the
+    # artifact compiles exactly once, and the descriptor program gets the
+    # same measured compiler options as the in-process eval jit
+    from ..utils.profiling import descriptor_compiler_options
+
+    call = jax.jit(exp.call, compiler_options=descriptor_compiler_options())
     feats = []
     for i in range(0, n, batch):
         chunk = clips[i : i + batch]
@@ -253,7 +260,7 @@ def describe_with_export(args):
             chunk = np.concatenate(
                 [chunk, np.zeros((batch - size,) + chunk.shape[1:], chunk.dtype)]
             )
-        feats.append(np.asarray(exp.call(chunk))[:size])
+        feats.append(np.asarray(call(chunk))[:size])
     out = {"features": np.concatenate(feats, axis=0).astype(np.float32)}
     for k in ("pids", "camids"):
         if k in src.files:
