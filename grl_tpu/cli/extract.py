@@ -3,7 +3,9 @@
 The reference couples feature extraction to the benchmark protocol
 (test_all.py always runs CMC/mAP). Production re-ID deploys differently:
 extract the 6144-d tracklet descriptors ONCE into an index, then serve
-retrieval queries against it. Two subcommands:
+retrieval queries against it. Subcommands (see also ``export-model`` /
+``describe`` for the AOT serving artifact and ``serve`` for the
+persistent daemon over it):
 
   # build a gallery index (and a query set) from a dataset split
   python -m grl_tpu.cli.extract features -d mars --data-dir ... \\
@@ -218,56 +220,215 @@ def export_model(args):
     return meta
 
 
-def describe_with_export(args):
-    """Run clips through an ``export-model`` artifact: clips npz
-    (``clips`` (n, S, h, w, c) uint8, optional ``pids``/``camids``
-    passthrough) -> descriptor npz. Needs only jax at runtime."""
+def _load_artifact(path):
+    """Deserialize an ``export-model`` artifact -> (jitted call, meta).
+
+    The jitted wrapper means every padded chunk hits ONE compiled program,
+    carrying the same measured compiler options as the in-process eval jit.
+    """
     import jax
     from jax import export as jexport
 
-    with np.load(args.model, allow_pickle=False) as z:
+    from ..utils.profiling import descriptor_compiler_options
+
+    with np.load(path, allow_pickle=False) as z:
         blob = z["exported"].tobytes()
         meta = json.loads(str(z["meta"]))
     exp = jexport.deserialize(blob)
-    src = np.load(args.clips)
-    clips = src["clips"]
+    call = jax.jit(exp.call, compiler_options=descriptor_compiler_options())
+    return call, meta
+
+
+def _check_clips(clips, meta):
     expect = (meta["seq_len"], meta["height"], meta["width"], meta["channels"])
     if clips.shape[1:] != expect:
-        raise SystemExit(
+        raise ValueError(
             f"clips shaped {clips.shape[1:]} but the artifact was exported "
             f"for {expect} (seq_len, height, width, channels)"
         )
     if clips.dtype != np.uint8:
-        raise SystemExit(
+        raise ValueError(
             f"clips dtype {clips.dtype} but the artifact expects uint8 raw "
             "frames (normalization happens inside the exported program)"
         )
     if clips.shape[0] == 0:
-        raise SystemExit("clips array is empty (0 clips)")
-    batch = meta["batch"]
-    n = clips.shape[0]
-    # one jitted wrapper: every chunk is padded to the export batch, so the
-    # artifact compiles exactly once, and the descriptor program gets the
-    # same measured compiler options as the in-process eval jit
-    from ..utils.profiling import descriptor_compiler_options
+        raise ValueError("clips array is empty (0 clips)")
 
-    call = jax.jit(exp.call, compiler_options=descriptor_compiler_options())
-    feats = []
-    for i in range(0, n, batch):
+
+def _artifact_chunks(clips, batch):
+    """Yield (chunk padded to the export batch, valid row count)."""
+    for i in range(0, clips.shape[0], batch):
         chunk = clips[i : i + batch]
         size = chunk.shape[0]
         if size < batch:
             chunk = np.concatenate(
                 [chunk, np.zeros((batch - size,) + chunk.shape[1:], chunk.dtype)]
             )
-        feats.append(np.asarray(call(chunk))[:size])
+        yield chunk, size
+
+
+def describe_with_export(args):
+    """Run clips through an ``export-model`` artifact: clips npz
+    (``clips`` (n, S, h, w, c) uint8, optional ``pids``/``camids``
+    passthrough) -> descriptor npz. Needs only jax at runtime."""
+    call, meta = _load_artifact(args.model)
+    src = np.load(args.clips)
+    clips = src["clips"]
+    try:
+        _check_clips(clips, meta)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    feats = [
+        np.asarray(call(chunk))[:size]
+        for chunk, size in _artifact_chunks(clips, meta["batch"])
+    ]
     out = {"features": np.concatenate(feats, axis=0).astype(np.float32)}
     for k in ("pids", "camids"):
         if k in src.files:
             out[k] = src[k]
     np.savez(args.out, **out)
-    print(f"wrote {n} x {out['features'].shape[1]} descriptors to {args.out}")
+    print(f"wrote {clips.shape[0]} x {out['features'].shape[1]} descriptors to {args.out}")
     return out["features"].shape
+
+
+def serve(args, inp=None, out=None):
+    """Persistent descriptor/retrieval daemon over an ``export-model``
+    artifact.
+
+    One-shot CLI invocations pay process start + weight upload + compile
+    (or cache load) PER CALL — on a tunneled link the weight upload alone
+    is ~115 MB (docs/PERFORMANCE.md). ``serve`` pays it once, then answers
+    requests over a JSON-lines protocol: one request object per stdin
+    line, one response object per stdout line (logs go to stderr). Ops:
+
+      {"op": "ping"}
+      {"op": "describe", "clips": "in.npz", "out": "feats.npz"}
+      {"op": "rank", "clips": "in.npz", "topk": 5}      # needs --gallery
+      {"op": "shutdown"}
+
+    ``describe`` behaves like the one-shot subcommand (descriptor npz with
+    pids/camids passthrough, file-based handoff so clip tensors never ride
+    the protocol channel); ``rank`` describes the clips and answers inline
+    with the ``rank`` subcommand's match schema against the resident
+    --gallery index (features device-resident, similarities + top-k on
+    device; only the (batch, topk) winners cross the host boundary). A
+    malformed request gets ``{"ok": false, "error": ...}`` and the loop
+    continues — a daemon must not die on one bad request. Every response
+    carries ``ms`` (request wall time).
+    """
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    inp = inp if inp is not None else sys.stdin
+    out = out if out is not None else sys.stdout
+
+    call, meta = _load_artifact(args.model)
+    gallery = gf = rank_topk = None
+    if args.gallery:
+        g = np.load(args.gallery)
+        gallery = {"pids": g["pids"], "camids": g["camids"]}
+        if g["features"].shape[1] != meta["dim"]:
+            raise SystemExit(
+                f"gallery features are {g['features'].shape[1]}-d but the "
+                f"artifact produces {meta['dim']}-d descriptors"
+            )
+        gf = jnp.asarray(g["features"], jnp.float32)
+        k_max = min(args.topk, gf.shape[0])
+
+        # gallery rides as an argument (a closed-over array would be baked
+        # into the program as a constant); scores are the same negative-
+        # cosine convention as the rank subcommand, so top-k of +similarity
+        @jax.jit
+        def rank_topk(chunk, gf):
+            qf = call(chunk).astype(jnp.float32)
+            sim = jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
+            return jax.lax.top_k(sim, k_max)
+
+    def handle(req):
+        op = req.get("op")
+        if op == "ping":
+            return {
+                "ok": True, "op": "ping", "dim": meta["dim"],
+                "batch": meta["batch"],
+                "gallery": int(gf.shape[0]) if gf is not None else 0,
+            }
+        if op == "shutdown":
+            return {"ok": True, "op": "shutdown"}
+        if op == "describe":
+            src = np.load(req["clips"])
+            clips = src["clips"]
+            _check_clips(clips, meta)
+            feats = np.concatenate(
+                [np.asarray(call(c))[:sz]
+                 for c, sz in _artifact_chunks(clips, meta["batch"])]
+            ).astype(np.float32)
+            payload = {"features": feats}
+            for key in ("pids", "camids"):
+                if key in src.files:
+                    payload[key] = src[key]
+            np.savez(req["out"], **payload)
+            return {"ok": True, "op": "describe", "n": int(clips.shape[0]),
+                    "dim": int(feats.shape[1]), "out": req["out"]}
+        if op == "rank":
+            if gf is None:
+                raise ValueError("rank needs serve --gallery")
+            src = np.load(req["clips"])
+            clips = src["clips"]
+            _check_clips(clips, meta)
+            topk = max(1, min(int(req.get("topk", args.topk)), k_max))
+            results = []
+            for base, (chunk, size) in zip(
+                range(0, clips.shape[0], meta["batch"]),
+                _artifact_chunks(clips, meta["batch"]),
+            ):
+                scores, idx = rank_topk(chunk, gf)
+                scores = np.asarray(scores)[:size, :topk]
+                idx = np.asarray(idx)[:size, :topk]
+                results.extend(
+                    {
+                        "query": base + r,
+                        "matches": [
+                            {"gallery": int(j), "pid": int(gallery["pids"][j]),
+                             "camid": int(gallery["camids"][j]),
+                             # cosine similarity of the 6144-d descriptor
+                             # (3 L2-normed blocks -> range [-3, 3]); same
+                             # convention as the rank subcommand's score
+                             "score": float(s)}
+                            for j, s in zip(idx[r], scores[r])
+                        ],
+                    }
+                    for r in range(size)
+                )
+            return {"ok": True, "op": "rank", "results": results}
+        raise ValueError(f"unknown op {op!r}")
+
+    print(
+        f"serving {args.model} (batch {meta['batch']}, dim {meta['dim']}"
+        + (f", gallery {gf.shape[0]}" if gf is not None else "")
+        + ") — one JSON request per line",
+        file=sys.stderr,
+    )
+    n_req = 0
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        t0 = time.perf_counter()
+        try:
+            req = json.loads(line)
+            resp = handle(req)
+        except Exception as e:  # noqa: BLE001 — per-request fault isolation
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        resp["ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+        out.write(json.dumps(resp) + "\n")
+        out.flush()
+        n_req += 1
+        if resp.get("op") == "shutdown":
+            break
+    return n_req
 
 
 def build_parser():
@@ -354,6 +515,21 @@ def build_parser():
                    help=".npz with 'clips' (n, seq_len, h, w, c) uint8 "
                         "(+ optional pids/camids, passed through)")
     d.add_argument("-o", "--out", type=str, required=True)
+
+    s = sub.add_parser(
+        "serve",
+        help="persistent descriptor/retrieval daemon over an export-model "
+             "artifact: JSON-lines requests on stdin, responses on stdout",
+    )
+    s.add_argument("--model", type=str, required=True,
+                   help="export-model artifact (.npz)")
+    s.add_argument("--gallery", type=str, default="",
+                   help="gallery index .npz (features/pids/camids, e.g. from "
+                        "'features' or 'describe') enabling the rank op; "
+                        "held device-resident for the session")
+    s.add_argument("--topk", type=int, default=10,
+                   help="max matches per rank query (the on-device top-k "
+                        "is compiled at this width; requests may ask less)")
     return parser
 
 
@@ -373,6 +549,9 @@ def main(args):
     if args.command == "describe":
         enable_compilation_cache()  # the deserialized call compiles once
         return describe_with_export(args)
+    if args.command == "serve":
+        enable_compilation_cache()  # first request compiles the artifact
+        return serve(args)
     maybe_initialize_distributed()  # must precede any backend init
     enable_compilation_cache()
     return extract_split(args)

@@ -412,6 +412,99 @@ def test_export_model_describe_matches_evaluator(tmp_path):
     np.testing.assert_allclose(got["features"], ref, rtol=2e-5, atol=2e-5)
 
 
+def test_extract_serve_loop(tmp_path):
+    """The serve daemon must answer ping/describe/rank over the JSON-lines
+    protocol from a resident artifact + gallery index, match the one-shot
+    describe subcommand exactly, keep serving after malformed requests,
+    and stop at shutdown. Queries that ARE gallery clips must rank
+    themselves first (self-similarity 3.0: three L2-normed blocks)."""
+    import io
+    import json
+
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+    from grl_tpu.cli.extract import serve
+
+    logs = tmp_path / "run"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+    model = tmp_path / "model.npz"
+    extract_main(extract_parser().parse_args([
+        "export-model", "--checkpoint", str(logs / "checkpoint.npz"),
+        "--tiny", "--num-classes", "4", "--batch", "4", "--seq_len", "2",
+        "--height", "64", "--width", "32", "-o", str(model),
+    ]))
+
+    rng = np.random.RandomState(7)
+    gclips = rng.randint(0, 256, (5, 2, 64, 32, 3), np.uint8)
+    np.savez(tmp_path / "gclips.npz", clips=gclips,
+             pids=np.arange(10, 15), camids=np.arange(5) % 2)
+    gallery = tmp_path / "gallery.npz"
+    extract_main(extract_parser().parse_args([
+        "describe", "--model", str(model),
+        "--clips", str(tmp_path / "gclips.npz"), "-o", str(gallery),
+    ]))
+
+    # queries = gallery clips 1 and 3 -> each must retrieve itself first
+    np.savez(tmp_path / "qclips.npz", clips=gclips[[1, 3]])
+    reqs = "\n".join([
+        json.dumps({"op": "ping"}),
+        "this is not json",
+        json.dumps({"op": "describe", "clips": str(tmp_path / "qclips.npz"),
+                    "out": str(tmp_path / "qfeats.npz")}),
+        json.dumps({"op": "rank", "clips": str(tmp_path / "qclips.npz"),
+                    "topk": 2}),
+        json.dumps({"op": "frobnicate"}),
+        json.dumps({"op": "shutdown"}),
+        json.dumps({"op": "ping"}),  # after shutdown: must NOT be answered
+    ]) + "\n"
+    out = io.StringIO()
+    n = serve(
+        extract_parser().parse_args([
+            "serve", "--model", str(model), "--gallery", str(gallery),
+            "--topk", "3",
+        ]),
+        inp=io.StringIO(reqs), out=out,
+    )
+    resps = [json.loads(line) for line in out.getvalue().splitlines()]
+    assert n == len(resps) == 6  # nothing served past shutdown
+    ping, bad, desc, rank_r, unknown, bye = resps
+    assert all("ms" in r for r in resps)
+
+    assert ping == {"ok": True, "op": "ping", "dim": desc["dim"],
+                    "batch": 4, "gallery": 5, "ms": ping["ms"]}
+    assert bad["ok"] is False and "JSONDecodeError" in bad["error"]
+    assert unknown["ok"] is False and "frobnicate" in unknown["error"]
+    assert bye == {"ok": True, "op": "shutdown", "ms": bye["ms"]}
+
+    # daemon describe == one-shot describe subcommand, bit for bit
+    assert desc["ok"] and desc["n"] == 2
+    extract_main(extract_parser().parse_args([
+        "describe", "--model", str(model),
+        "--clips", str(tmp_path / "qclips.npz"),
+        "-o", str(tmp_path / "qfeats_oneshot.npz"),
+    ]))
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "qfeats.npz")["features"],
+        np.load(tmp_path / "qfeats_oneshot.npz")["features"],
+    )
+
+    assert rank_r["ok"] and len(rank_r["results"]) == 2
+    qf = np.load(tmp_path / "qfeats.npz")["features"]
+    gfts = np.load(gallery)["features"]
+    sims = qf @ gfts.T
+    for qi, (rec, expect_g) in enumerate(zip(rank_r["results"], (1, 3))):
+        assert len(rec["matches"]) == 2  # request topk=2 < compiled 3
+        top = rec["matches"][0]
+        assert top["gallery"] == expect_g
+        assert top["pid"] == 10 + expect_g and top["camid"] == expect_g % 2
+        # self-match similarity: two unit blocks + the clip-mean block
+        # (mean of per-frame unit vectors, norm <= 1) -> in (2, 3]
+        assert 2.0 < top["score"] <= 3.0 + 1e-5
+        assert abs(top["score"] - sims[qi, expect_g]) < 1e-4
+        scores = [m["score"] for m in rec["matches"]]
+        assert scores == sorted(scores, reverse=True)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_resume_across_mesh_sizes(tmp_path):
     """Elastic resume: a checkpoint written under one device count must
