@@ -221,10 +221,13 @@ def export_model(args):
 
 
 def _load_artifact(path):
-    """Deserialize an ``export-model`` artifact -> (jitted call, meta).
+    """Deserialize an ``export-model`` artifact -> (call, meta, raw_call).
 
-    The jitted wrapper means every padded chunk hits ONE compiled program,
-    carrying the same measured compiler options as the in-process eval jit.
+    ``call`` is the jitted wrapper (every padded chunk hits ONE compiled
+    program, carrying the same measured compiler options as the in-process
+    eval jit); ``raw_call`` is the unjitted exported function for callers
+    that compose it INSIDE their own top-level jit (compiler options are
+    rejected on nested jits).
     """
     import jax
     from jax import export as jexport
@@ -234,9 +237,23 @@ def _load_artifact(path):
     with np.load(path, allow_pickle=False) as z:
         blob = z["exported"].tobytes()
         meta = json.loads(str(z["meta"]))
+    # fail at load, not at the first request: an artifact exported for the
+    # wrong platform would otherwise serve an opaque per-call export error
+    # (a daemon started on a CPU-only host against a tpu-only artifact)
+    platforms = meta.get("platforms")
+    if platforms:
+        backend = jax.default_backend()
+        aliases = {"gpu": ("cuda", "rocm")}.get(backend, (backend,))
+        if not any(p in platforms for p in aliases):
+            raise SystemExit(
+                f"{path} was exported for platforms {platforms} but this "
+                f"host's jax backend is '{backend}' — re-export with "
+                f"--platforms {','.join(sorted({*platforms, backend}))} "
+                "for a cross-platform artifact"
+            )
     exp = jexport.deserialize(blob)
     call = jax.jit(exp.call, compiler_options=descriptor_compiler_options())
-    return call, meta
+    return call, meta, exp.call
 
 
 def _check_clips(clips, meta):
@@ -271,7 +288,7 @@ def describe_with_export(args):
     """Run clips through an ``export-model`` artifact: clips npz
     (``clips`` (n, S, h, w, c) uint8, optional ``pids``/``camids``
     passthrough) -> descriptor npz. Needs only jax at runtime."""
-    call, meta = _load_artifact(args.model)
+    call, meta, _ = _load_artifact(args.model)
     src = np.load(args.clips)
     clips = src["clips"]
     try:
@@ -325,7 +342,7 @@ def serve(args, inp=None, out=None):
     inp = inp if inp is not None else sys.stdin
     out = out if out is not None else sys.stdout
 
-    call, meta = _load_artifact(args.model)
+    call, meta, raw_call = _load_artifact(args.model)
     gallery = gf = rank_topk = None
     if args.gallery:
         g = np.load(args.gallery)
@@ -340,10 +357,19 @@ def serve(args, inp=None, out=None):
 
         # gallery rides as an argument (a closed-over array would be baked
         # into the program as a constant); scores are the same negative-
-        # cosine convention as the rank subcommand, so top-k of +similarity
-        @jax.jit
+        # cosine convention as the rank subcommand, so top-k of +similarity.
+        # Composes the RAW exported call: the jitted wrapper carries
+        # compiler options, which jax rejects on a nested jit — the options
+        # ride this top-level jit instead.
+        import functools
+
+        from ..utils.profiling import descriptor_compiler_options
+
+        @functools.partial(
+            jax.jit, compiler_options=descriptor_compiler_options()
+        )
         def rank_topk(chunk, gf):
-            qf = call(chunk).astype(jnp.float32)
+            qf = raw_call(chunk).astype(jnp.float32)
             sim = jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
             return jax.lax.top_k(sim, k_max)
 
