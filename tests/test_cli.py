@@ -412,6 +412,42 @@ def test_export_model_describe_matches_evaluator(tmp_path):
     np.testing.assert_allclose(got["features"], ref, rtol=2e-5, atol=2e-5)
 
 
+def test_load_artifact_rejects_wrong_platform(tmp_path):
+    """An artifact exported for a platform this host's jax backend cannot
+    run must fail AT LOAD with a re-export hint (a daemon started against
+    it would otherwise serve an opaque per-request export error). The
+    check reads the meta before deserializing, so a crafted npz with a
+    garbage blob exercises it without paying an export compile. Artifacts
+    listing the current backend (or with no platform record — pre-check
+    artifacts) must pass through to deserialization."""
+    import json
+
+    import pytest
+
+    from grl_tpu.cli.extract import _load_artifact
+
+    def artifact(platforms):
+        meta = {"batch": 4, "seq_len": 2, "height": 64, "width": 32,
+                "channels": 3, "dim": 384}
+        if platforms is not None:
+            meta["platforms"] = platforms
+        path = tmp_path / f"m_{'-'.join(platforms or ['none'])}.npz"
+        np.savez(path, exported=np.frombuffer(b"not an export", np.uint8),
+                 meta=json.dumps(meta))
+        return path
+
+    with pytest.raises(SystemExit, match=r"--platforms .*tpu"):
+        _load_artifact(artifact(["tpu"]))
+
+    # matching / absent platform records reach deserialization (which
+    # rejects the garbage blob with anything BUT the platform SystemExit)
+    backend = jax.default_backend()
+    for platforms in ([backend], ["tpu", backend], None):
+        with pytest.raises(Exception) as exc:
+            _load_artifact(artifact(platforms))
+        assert not isinstance(exc.value, SystemExit)
+
+
 def test_extract_serve_loop(tmp_path):
     """The serve daemon must answer ping/describe/rank over the JSON-lines
     protocol from a resident artifact + gallery index, match the one-shot
