@@ -243,12 +243,20 @@ def _load_artifact(path):
     platforms = meta.get("platforms")
     if platforms:
         backend = jax.default_backend()
-        aliases = {"gpu": ("cuda", "rocm")}.get(backend, (backend,))
-        if not any(p in platforms for p in aliases):
+        try:
+            # resolves 'gpu' to the concrete export platform this host's
+            # plugin lowers for ('cuda' vs 'rocm' — export platform names
+            # are concrete; a cuda-only artifact must NOT load on rocm)
+            from jax._src.xla_bridge import canonicalize_platform
+
+            accepted = (canonicalize_platform(backend),)
+        except Exception:
+            accepted = {"gpu": ("cuda", "rocm")}.get(backend, (backend,))
+        if not any(p in platforms for p in accepted):
             raise SystemExit(
                 f"{path} was exported for platforms {platforms} but this "
                 f"host's jax backend is '{backend}' — re-export with "
-                f"--platforms {','.join(sorted({*platforms, backend}))} "
+                f"--platforms {','.join(sorted({*platforms, *accepted}))} "
                 "for a cross-platform artifact"
             )
     exp = jexport.deserialize(blob)
@@ -284,28 +292,37 @@ def _artifact_chunks(clips, batch):
         yield chunk, size
 
 
-def describe_with_export(args):
-    """Run clips through an ``export-model`` artifact: clips npz
-    (``clips`` (n, S, h, w, c) uint8, optional ``pids``/``camids``
-    passthrough) -> descriptor npz. Needs only jax at runtime."""
-    call, meta, _ = _load_artifact(args.model)
-    src = np.load(args.clips)
+def _describe_to_npz(call, meta, clips_path, out_path):
+    """Clips npz (``clips`` (n, S, h, w, c) uint8, optional ``pids``/
+    ``camids`` passthrough) -> descriptor npz at ``out_path``.
+
+    The single assembly used by the one-shot ``describe`` subcommand and
+    the daemon's describe op (pinned bit-for-bit equal in CI)."""
+    src = np.load(clips_path)
     clips = src["clips"]
-    try:
-        _check_clips(clips, meta)
-    except ValueError as e:
-        raise SystemExit(str(e))
-    feats = [
-        np.asarray(call(chunk))[:size]
-        for chunk, size in _artifact_chunks(clips, meta["batch"])
-    ]
-    out = {"features": np.concatenate(feats, axis=0).astype(np.float32)}
+    _check_clips(clips, meta)
+    feats = np.concatenate(
+        [np.asarray(call(chunk))[:size]
+         for chunk, size in _artifact_chunks(clips, meta["batch"])]
+    ).astype(np.float32)
+    payload = {"features": feats}
     for k in ("pids", "camids"):
         if k in src.files:
-            out[k] = src[k]
-    np.savez(args.out, **out)
-    print(f"wrote {clips.shape[0]} x {out['features'].shape[1]} descriptors to {args.out}")
-    return out["features"].shape
+            payload[k] = src[k]
+    np.savez(out_path, **payload)
+    return feats
+
+
+def describe_with_export(args):
+    """Run clips through an ``export-model`` artifact -> descriptor npz.
+    Needs only jax at runtime."""
+    call, meta, _ = _load_artifact(args.model)
+    try:
+        feats = _describe_to_npz(call, meta, args.clips, args.out)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    print(f"wrote {feats.shape[0]} x {feats.shape[1]} descriptors to {args.out}")
+    return feats.shape
 
 
 def serve(args, inp=None, out=None):
@@ -345,14 +362,26 @@ def serve(args, inp=None, out=None):
     call, meta, raw_call = _load_artifact(args.model)
     gallery = gf = rank_topk = None
     if args.gallery:
+        if args.topk < 1:
+            raise SystemExit("serve --topk must be >= 1 (the on-device "
+                             "top-k is compiled at this width)")
         g = np.load(args.gallery)
-        gallery = {"pids": g["pids"], "camids": g["camids"]}
-        if g["features"].shape[1] != meta["dim"]:
+        feats = g["features"]
+        if feats.ndim != 2 or feats.shape[1] != meta["dim"]:
             raise SystemExit(
-                f"gallery features are {g['features'].shape[1]}-d but the "
+                f"gallery features are shaped {feats.shape} but the "
                 f"artifact produces {meta['dim']}-d descriptors"
             )
-        gf = jnp.asarray(g["features"], jnp.float32)
+        if feats.shape[0] == 0:
+            raise SystemExit(f"gallery index {args.gallery} is empty")
+        # pids/camids are passthrough-optional in describe outputs; an
+        # unlabeled index still ranks (labels report as -1)
+        gallery = {
+            k: (g[k] if k in g.files
+                else np.full(feats.shape[0], -1, np.int64))
+            for k in ("pids", "camids")
+        }
+        gf = jnp.asarray(feats, jnp.float32)
         k_max = min(args.topk, gf.shape[0])
 
         # gallery rides as an argument (a closed-over array would be baked
@@ -384,19 +413,8 @@ def serve(args, inp=None, out=None):
         if op == "shutdown":
             return {"ok": True, "op": "shutdown"}
         if op == "describe":
-            src = np.load(req["clips"])
-            clips = src["clips"]
-            _check_clips(clips, meta)
-            feats = np.concatenate(
-                [np.asarray(call(c))[:sz]
-                 for c, sz in _artifact_chunks(clips, meta["batch"])]
-            ).astype(np.float32)
-            payload = {"features": feats}
-            for key in ("pids", "camids"):
-                if key in src.files:
-                    payload[key] = src[key]
-            np.savez(req["out"], **payload)
-            return {"ok": True, "op": "describe", "n": int(clips.shape[0]),
+            feats = _describe_to_npz(call, meta, req["clips"], req["out"])
+            return {"ok": True, "op": "describe", "n": int(feats.shape[0]),
                     "dim": int(feats.shape[1]), "out": req["out"]}
         if op == "rank":
             if gf is None:
@@ -404,12 +422,15 @@ def serve(args, inp=None, out=None):
             src = np.load(req["clips"])
             clips = src["clips"]
             _check_clips(clips, meta)
-            topk = max(1, min(int(req.get("topk", args.topk)), k_max))
+            topk = int(req.get("topk", args.topk))
+            if topk < 1:
+                raise ValueError("topk must be >= 1")
+            topk = min(topk, k_max)
             results = []
-            for base, (chunk, size) in zip(
-                range(0, clips.shape[0], meta["batch"]),
-                _artifact_chunks(clips, meta["batch"]),
+            for ci, (chunk, size) in enumerate(
+                _artifact_chunks(clips, meta["batch"])
             ):
+                base = ci * meta["batch"]
                 scores, idx = rank_topk(chunk, gf)
                 scores = np.asarray(scores)[:size, :topk]
                 idx = np.asarray(idx)[:size, :topk]

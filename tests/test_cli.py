@@ -443,7 +443,7 @@ def test_load_artifact_rejects_wrong_platform(tmp_path):
     # rejects the garbage blob with anything BUT the platform SystemExit)
     backend = jax.default_backend()
     for platforms in ([backend], ["tpu", backend], None):
-        with pytest.raises(Exception) as exc:
+        with pytest.raises((Exception, SystemExit)) as exc:
             _load_artifact(artifact(platforms))
         assert not isinstance(exc.value, SystemExit)
 
@@ -489,6 +489,8 @@ def test_extract_serve_loop(tmp_path):
                     "out": str(tmp_path / "qfeats.npz")}),
         json.dumps({"op": "rank", "clips": str(tmp_path / "qclips.npz"),
                     "topk": 2}),
+        json.dumps({"op": "rank", "clips": str(tmp_path / "qclips.npz"),
+                    "topk": 0}),  # per-request validation, not a clamp
         json.dumps({"op": "frobnicate"}),
         json.dumps({"op": "shutdown"}),
         json.dumps({"op": "ping"}),  # after shutdown: must NOT be answered
@@ -502,13 +504,14 @@ def test_extract_serve_loop(tmp_path):
         inp=io.StringIO(reqs), out=out,
     )
     resps = [json.loads(line) for line in out.getvalue().splitlines()]
-    assert n == len(resps) == 6  # nothing served past shutdown
-    ping, bad, desc, rank_r, unknown, bye = resps
+    assert n == len(resps) == 7  # nothing served past shutdown
+    ping, bad, desc, rank_r, rank_k0, unknown, bye = resps
     assert all("ms" in r for r in resps)
 
     assert ping == {"ok": True, "op": "ping", "dim": desc["dim"],
                     "batch": 4, "gallery": 5, "ms": ping["ms"]}
     assert bad["ok"] is False and "JSONDecodeError" in bad["error"]
+    assert rank_k0["ok"] is False and "topk must be >= 1" in rank_k0["error"]
     assert unknown["ok"] is False and "frobnicate" in unknown["error"]
     assert bye == {"ok": True, "op": "shutdown", "ms": bye["ms"]}
 
@@ -539,6 +542,38 @@ def test_extract_serve_loop(tmp_path):
         assert abs(top["score"] - sims[qi, expect_g]) < 1e-4
         scores = [m["score"] for m in rec["matches"]]
         assert scores == sorted(scores, reverse=True)
+
+    # startup validation: a bad --topk or an empty/mis-shaped gallery must
+    # fail BEFORE serving, not as an opaque error on the first request
+    for argv, pat in [
+        (["--gallery", str(gallery), "--topk", "0"], "topk"),
+        (["--gallery", str(tmp_path / "empty.npz")], "empty"),
+        (["--gallery", str(tmp_path / "badim.npz")], "descriptors"),
+    ]:
+        np.savez(tmp_path / "empty.npz",
+                 features=np.zeros((0, desc["dim"]), np.float32))
+        np.savez(tmp_path / "badim.npz",
+                 features=np.zeros((3, desc["dim"] + 1), np.float32))
+        with pytest.raises(SystemExit, match=pat):
+            serve(extract_parser().parse_args(
+                ["serve", "--model", str(model)] + argv),
+                inp=io.StringIO(""), out=io.StringIO())
+
+    # unlabeled gallery (features only, the describe-passthrough-optional
+    # case): still ranks, labels report as -1
+    np.savez(tmp_path / "unlabeled.npz", features=gfts)
+    out2 = io.StringIO()
+    serve(extract_parser().parse_args([
+        "serve", "--model", str(model),
+        "--gallery", str(tmp_path / "unlabeled.npz"), "--topk", "1",
+    ]), inp=io.StringIO(json.dumps(
+        {"op": "rank", "clips": str(tmp_path / "qclips.npz")}) + "\n"),
+        out=out2)
+    r2 = json.loads(out2.getvalue().splitlines()[0])
+    assert r2["ok"]
+    tops = [rec["matches"][0] for rec in r2["results"]]
+    assert [m["gallery"] for m in tops] == [1, 3]
+    assert all(m["pid"] == -1 and m["camid"] == -1 for m in tops)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
