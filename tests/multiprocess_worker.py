@@ -98,6 +98,29 @@ def build(args, limit=None):
     )
     ts = replicate(ts, mesh)
     step = make_train_step(cnn, sia, unc, opt, donate=False)
+
+    # AOT-compile the collective train programs BEFORE the post_build
+    # barrier. The barrier bounds build()-time skew, but the first
+    # trainer step used to COMPILE augment + the psum train step right
+    # before executing them — on a contended single core two concurrent
+    # cold compiles skew the workers' first executions past gloo's fixed
+    # 30 s communicator rendezvous window (GetKeyValue timeout on
+    # cpu:gloo/...), killing one worker. lower().compile() builds the
+    # programs without executing any collective (and seeds the persistent
+    # XLA cache, so the real first step is a fast cache load on both
+    # workers), leaving the barrier as the only pre-execution skew. The
+    # batch specs come from a throwaway loader through the REAL global
+    # assembly path so shapes/dtypes/shardings match exactly.
+    from grl_tpu.data.transforms import augment
+
+    _d, _n, warm_loader, _wq, _wg = get_data(
+        "synthetic", batch_size=LOCAL_BATCH, seq_len=SEQ_LEN, workers=1,
+        seed=0, dataset_kwargs=DATASET_KW, process_shard=True,
+    )
+    wclips, wpids, _wc = next(iter(GlobalBatchLoader(warm_loader, mesh)))
+    wx = augment(jax.random.split(jax.random.PRNGKey(0))[1], wclips,
+                 train=True)  # executes, but is collective-free
+    step.lower(ts, wx, wpids, 1e-3).compile()
     return ds, rec, glob, mesh, ts, step
 
 
