@@ -337,18 +337,26 @@ def serve(args, inp=None, out=None):
 
       {"op": "ping"}
       {"op": "describe", "clips": "in.npz", "out": "feats.npz"}
-      {"op": "rank", "clips": "in.npz", "topk": 5}      # needs --gallery
+      {"op": "rank", "clips": "in.npz", "topk": 5}      # needs an index
+      {"op": "add", "clips": "new.npz"}                 # or "features"
+      {"op": "save", "out": "index.npz"}
       {"op": "shutdown"}
 
     ``describe`` behaves like the one-shot subcommand (descriptor npz with
     pids/camids passthrough, file-based handoff so clip tensors never ride
     the protocol channel); ``rank`` describes the clips and answers inline
-    with the ``rank`` subcommand's match schema against the resident
-    --gallery index (features device-resident, similarities + top-k on
-    device; only the (batch, topk) winners cross the host boundary). A
-    malformed request gets ``{"ok": false, "error": ...}`` and the loop
-    continues — a daemon must not die on one bad request. Every response
-    carries ``ms`` (request wall time).
+    with the ``rank`` subcommand's match schema against the resident index
+    (features device-resident, similarities + top-k on device; only the
+    (batch, topk) winners cross the host boundary).
+
+    The index seeds from --gallery and grows in place: ``add`` enrolls new
+    descriptors (raw clips are described first) up to --capacity — the
+    device buffer is capacity-padded and rank masks rows past the valid
+    count, so enrollment never recompiles; ``save`` persists the grown
+    index as a gallery npz. --capacity without --gallery starts an empty
+    index (enroll-from-scratch). A malformed request gets ``{"ok": false,
+    "error": ...}`` and the loop continues — a daemon must not die on one
+    bad request. Every response carries ``ms`` (request wall time).
     """
     import sys
     import time
@@ -360,36 +368,53 @@ def serve(args, inp=None, out=None):
     out = out if out is not None else sys.stdout
 
     call, meta, raw_call = _load_artifact(args.model)
-    gallery = gf = rank_topk = None
-    if args.gallery:
+    idx = rank_topk = None
+    ADD_BLOCK = 256  # fixed enrollment granularity: one compiled update
+    if args.gallery or args.capacity:
         if args.topk < 1:
             raise SystemExit("serve --topk must be >= 1 (the on-device "
                              "top-k is compiled at this width)")
-        g = np.load(args.gallery)
-        feats = g["features"]
-        if feats.ndim != 2 or feats.shape[1] != meta["dim"]:
-            raise SystemExit(
-                f"gallery features are shaped {feats.shape} but the "
-                f"artifact produces {meta['dim']}-d descriptors"
-            )
-        if feats.shape[0] == 0:
-            raise SystemExit(f"gallery index {args.gallery} is empty")
-        # pids/camids are passthrough-optional in describe outputs; an
-        # unlabeled index still ranks (labels report as -1)
-        gallery = {
-            k: (g[k] if k in g.files
-                else np.full(feats.shape[0], -1, np.int64))
-            for k in ("pids", "camids")
-        }
-        gf = jnp.asarray(feats, jnp.float32)
-        k_max = min(args.topk, gf.shape[0])
+        if args.capacity < 0:
+            raise SystemExit("serve --capacity must be >= 0")
+        if args.gallery:
+            g = np.load(args.gallery)
+            feats = g["features"]
+            if feats.ndim != 2 or feats.shape[1] != meta["dim"]:
+                raise SystemExit(
+                    f"gallery features are shaped {feats.shape} but the "
+                    f"artifact produces {meta['dim']}-d descriptors"
+                )
+            if feats.shape[0] == 0 and not args.capacity:
+                raise SystemExit(f"gallery index {args.gallery} is empty")
+            # pids/camids are passthrough-optional in describe outputs; an
+            # unlabeled index still ranks (labels report as -1)
+            labels = {
+                k: (np.asarray(g[k]) if k in g.files
+                    else np.full(feats.shape[0], -1, np.int64))
+                for k in ("pids", "camids")
+            }
+        else:  # enroll-from-scratch index
+            feats = np.zeros((0, meta["dim"]), np.float32)
+            labels = {k: np.zeros(0, np.int64) for k in ("pids", "camids")}
+        n0 = feats.shape[0]
+        capacity = max(args.capacity, n0)
+        # the device buffer carries one spare ADD_BLOCK so enrollment's
+        # fixed-width dynamic_update_slice never clamps its start offset
+        # (a clamp would silently overwrite live rows near capacity)
+        buf = np.zeros((capacity + ADD_BLOCK, meta["dim"]), np.float32)
+        buf[:n0] = feats
+        idx = {"n": n0, "capacity": capacity, "gf": jnp.asarray(buf),
+               "pids": labels["pids"], "camids": labels["camids"]}
+        k_max = min(args.topk, capacity)  # capacity >= 1 here
 
         # gallery rides as an argument (a closed-over array would be baked
         # into the program as a constant); scores are the same negative-
         # cosine convention as the rank subcommand, so top-k of +similarity.
         # Composes the RAW exported call: the jitted wrapper carries
         # compiler options, which jax rejects on a nested jit — the options
-        # ride this top-level jit instead.
+        # ride this top-level jit instead. Rows past the valid count are
+        # masked to -inf (the padded region is zeros, whose similarity 0
+        # would otherwise beat genuinely negative matches).
         import functools
 
         from ..utils.profiling import descriptor_compiler_options
@@ -397,10 +422,67 @@ def serve(args, inp=None, out=None):
         @functools.partial(
             jax.jit, compiler_options=descriptor_compiler_options()
         )
-        def rank_topk(chunk, gf):
+        def rank_topk(chunk, gf, n_valid):
             qf = raw_call(chunk).astype(jnp.float32)
             sim = jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
+            cols = jnp.arange(gf.shape[0])[None, :]
+            sim = jnp.where(cols < n_valid, sim, -jnp.inf)
             return jax.lax.top_k(sim, k_max)
+
+        # donated: enrollment updates the resident buffer in place
+        gf_update = jax.jit(
+            lambda gf, block, off: jax.lax.dynamic_update_slice(
+                gf, block, (off, 0)),
+            donate_argnums=0,
+        )
+
+    def enroll(feats, pids, camids):
+        """Append descriptor rows to the device-resident index."""
+        n, n_add = idx["n"], feats.shape[0]
+        if n + n_add > idx["capacity"]:
+            raise ValueError(
+                f"index at {n}/{idx['capacity']}: adding {n_add} exceeds "
+                "capacity — restart serve with a larger --capacity"
+            )
+        for i in range(0, n_add, ADD_BLOCK):
+            block = feats[i : i + ADD_BLOCK]
+            if block.shape[0] < ADD_BLOCK:  # zero-pad: rows past the new
+                block = np.concatenate(    # count stay masked out of rank
+                    [block, np.zeros((ADD_BLOCK - block.shape[0],
+                                      block.shape[1]), np.float32)]
+                )
+            idx["gf"] = gf_update(idx["gf"], jnp.asarray(block),
+                                  np.int32(n + i))
+        idx["n"] = n + n_add
+        idx["pids"] = np.concatenate([idx["pids"], pids])
+        idx["camids"] = np.concatenate([idx["camids"], camids])
+
+    def load_add_features(req):
+        """An add request carries either descriptors or raw clips."""
+        src = np.load(req["features"] if "features" in req else req["clips"])
+        if "features" in req:
+            feats = np.asarray(src["features"], np.float32)
+            if feats.ndim != 2 or feats.shape[1] != meta["dim"]:
+                raise ValueError(
+                    f"add features shaped {feats.shape}, need "
+                    f"(n, {meta['dim']})"
+                )
+        else:
+            clips = src["clips"]
+            _check_clips(clips, meta)
+            feats = np.concatenate(
+                [np.asarray(call(c))[:sz]
+                 for c, sz in _artifact_chunks(clips, meta["batch"])]
+            ).astype(np.float32)
+        labels = {}
+        for k in ("pids", "camids"):
+            labels[k] = (np.asarray(src[k], np.int64) if k in src.files
+                         else np.full(feats.shape[0], -1, np.int64))
+            if labels[k].shape != (feats.shape[0],):
+                raise ValueError(
+                    f"{k} shaped {labels[k].shape}, need ({feats.shape[0]},)"
+                )
+        return feats, labels["pids"], labels["camids"]
 
     def handle(req):
         op = req.get("op")
@@ -408,7 +490,8 @@ def serve(args, inp=None, out=None):
             return {
                 "ok": True, "op": "ping", "dim": meta["dim"],
                 "batch": meta["batch"],
-                "gallery": int(gf.shape[0]) if gf is not None else 0,
+                "gallery": idx["n"] if idx is not None else 0,
+                "capacity": idx["capacity"] if idx is not None else 0,
             }
         if op == "shutdown":
             return {"ok": True, "op": "shutdown"}
@@ -416,35 +499,55 @@ def serve(args, inp=None, out=None):
             feats = _describe_to_npz(call, meta, req["clips"], req["out"])
             return {"ok": True, "op": "describe", "n": int(feats.shape[0]),
                     "dim": int(feats.shape[1]), "out": req["out"]}
+        if op == "add":
+            if idx is None:
+                raise ValueError("add needs serve --gallery or --capacity")
+            if not ("features" in req or "clips" in req):
+                raise ValueError("add needs a 'features' or 'clips' npz path")
+            feats, pids, camids = load_add_features(req)
+            enroll(feats, pids, camids)
+            return {"ok": True, "op": "add", "added": int(feats.shape[0]),
+                    "gallery": idx["n"], "capacity": idx["capacity"]}
+        if op == "save":
+            if idx is None:
+                raise ValueError("save needs serve --gallery or --capacity")
+            np.savez(req["out"],
+                     features=np.asarray(idx["gf"])[: idx["n"]],
+                     pids=idx["pids"], camids=idx["camids"])
+            return {"ok": True, "op": "save", "n": idx["n"],
+                    "out": req["out"]}
         if op == "rank":
-            if gf is None:
-                raise ValueError("rank needs serve --gallery")
+            if idx is None:
+                raise ValueError("rank needs serve --gallery or --capacity")
+            if idx["n"] == 0:
+                raise ValueError("index is empty — enroll with add first")
             src = np.load(req["clips"])
             clips = src["clips"]
             _check_clips(clips, meta)
             topk = int(req.get("topk", args.topk))
             if topk < 1:
                 raise ValueError("topk must be >= 1")
-            topk = min(topk, k_max)
+            topk = min(topk, k_max, idx["n"])
             results = []
             for ci, (chunk, size) in enumerate(
                 _artifact_chunks(clips, meta["batch"])
             ):
                 base = ci * meta["batch"]
-                scores, idx = rank_topk(chunk, gf)
+                scores, order = rank_topk(chunk, idx["gf"],
+                                          np.int32(idx["n"]))
                 scores = np.asarray(scores)[:size, :topk]
-                idx = np.asarray(idx)[:size, :topk]
+                order = np.asarray(order)[:size, :topk]
                 results.extend(
                     {
                         "query": base + r,
                         "matches": [
-                            {"gallery": int(j), "pid": int(gallery["pids"][j]),
-                             "camid": int(gallery["camids"][j]),
+                            {"gallery": int(j), "pid": int(idx["pids"][j]),
+                             "camid": int(idx["camids"][j]),
                              # cosine similarity of the 6144-d descriptor
                              # (3 L2-normed blocks -> range [-3, 3]); same
                              # convention as the rank subcommand's score
                              "score": float(s)}
-                            for j, s in zip(idx[r], scores[r])
+                            for j, s in zip(order[r], scores[r])
                         ],
                     }
                     for r in range(size)
@@ -454,7 +557,8 @@ def serve(args, inp=None, out=None):
 
     print(
         f"serving {args.model} (batch {meta['batch']}, dim {meta['dim']}"
-        + (f", gallery {gf.shape[0]}" if gf is not None else "")
+        + (f", gallery {idx['n']}/{idx['capacity']}"
+           if idx is not None else "")
         + ") — one JSON request per line",
         file=sys.stderr,
     )
@@ -577,6 +681,11 @@ def build_parser():
     s.add_argument("--topk", type=int, default=10,
                    help="max matches per rank query (the on-device top-k "
                         "is compiled at this width; requests may ask less)")
+    s.add_argument("--capacity", type=int, default=0,
+                   help="index capacity for add-op enrollment (device "
+                        "buffer is padded to this once, so growth never "
+                        "recompiles); 0 = frozen at the --gallery size; "
+                        "with no --gallery, starts an empty index")
     return parser
 
 

@@ -509,7 +509,8 @@ def test_extract_serve_loop(tmp_path):
     assert all("ms" in r for r in resps)
 
     assert ping == {"ok": True, "op": "ping", "dim": desc["dim"],
-                    "batch": 4, "gallery": 5, "ms": ping["ms"]}
+                    "batch": 4, "gallery": 5, "capacity": 5,
+                    "ms": ping["ms"]}
     assert bad["ok"] is False and "JSONDecodeError" in bad["error"]
     assert rank_k0["ok"] is False and "topk must be >= 1" in rank_k0["error"]
     assert unknown["ok"] is False and "frobnicate" in unknown["error"]
@@ -574,6 +575,101 @@ def test_extract_serve_loop(tmp_path):
     tops = [rec["matches"][0] for rec in r2["results"]]
     assert [m["gallery"] for m in tops] == [1, 3]
     assert all(m["pid"] == -1 and m["camid"] == -1 for m in tops)
+
+
+def test_extract_serve_enrollment(tmp_path):
+    """Incremental enrollment: a daemon started with --capacity and NO
+    gallery begins empty, `add` ops grow the device-resident index (from
+    descriptor npz files AND from raw clips, crossing the fixed update
+    block width), rank answers reflect every enrollment immediately and
+    never surface masked padding rows, capacity overflow is rejected per
+    request, and `save` persists exactly the enrolled index."""
+    import io
+    import json
+
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+    from grl_tpu.cli.extract import serve
+
+    logs = tmp_path / "run"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+    model = tmp_path / "model.npz"
+    extract_main(extract_parser().parse_args([
+        "export-model", "--checkpoint", str(logs / "checkpoint.npz"),
+        "--tiny", "--num-classes", "4", "--batch", "4", "--seq_len", "2",
+        "--height", "64", "--width", "32", "-o", str(model),
+    ]))
+    meta = json.loads(str(np.load(model)["meta"]))
+    dim = meta["dim"]
+
+    rng = np.random.RandomState(3)
+    clip = rng.randint(0, 256, (1, 2, 64, 32, 3), np.uint8)
+    np.savez(tmp_path / "newclip.npz", clips=clip,
+             pids=np.array([777]), camids=np.array([2]))
+    extract_main(extract_parser().parse_args([
+        "describe", "--model", str(model),
+        "--clips", str(tmp_path / "newclip.npz"),
+        "-o", str(tmp_path / "clipfeat.npz"),
+    ]))
+    qf0 = np.load(tmp_path / "clipfeat.npz")["features"][0]
+    # 299 synthetic descriptors (crossing the 256-row ADD_BLOCK boundary)
+    # with STRICTLY NEGATIVE similarity to the query: -qf plus noise small
+    # against ||qf||^2 ~ 2-3. If the valid-count mask failed, the
+    # zero-padding rows (sim exactly 0) would outrank every one of them.
+    base = (-qf0[None, :] + 1e-3 * rng.randn(299, dim)).astype(np.float32)
+    np.savez(tmp_path / "batch1.npz", features=base,
+             pids=np.arange(299), camids=np.arange(299) % 6)
+    np.savez(tmp_path / "overflow.npz",
+             features=np.zeros((1, dim), np.float32))
+
+    reqs = "\n".join(json.dumps(r) for r in [
+        {"op": "ping"},
+        {"op": "rank", "clips": str(tmp_path / "newclip.npz")},  # empty
+        {"op": "add", "features": str(tmp_path / "batch1.npz")},
+        {"op": "add"},                                    # no payload
+        {"op": "add", "clips": str(tmp_path / "newclip.npz")},
+        {"op": "rank", "clips": str(tmp_path / "newclip.npz"), "topk": 5},
+        {"op": "add", "features": str(tmp_path / "overflow.npz")},
+        {"op": "save", "out": str(tmp_path / "index.npz")},
+        {"op": "shutdown"},
+    ]) + "\n"
+    out = io.StringIO()
+    serve(extract_parser().parse_args([
+        "serve", "--model", str(model), "--capacity", "300", "--topk", "5",
+    ]), inp=io.StringIO(reqs), out=out)
+    (ping, empty, add1, addbad, add2, rank_r, overflow, save_r,
+     bye) = [json.loads(l) for l in out.getvalue().splitlines()]
+
+    assert ping["ok"] and ping["gallery"] == 0 and ping["capacity"] == 300
+    assert empty["ok"] is False and "empty" in empty["error"]
+    assert add1["ok"] and add1["added"] == 299 and add1["gallery"] == 299
+    assert addbad["ok"] is False and "npz path" in addbad["error"]
+    assert add2["ok"] and add2["gallery"] == 300
+    assert overflow["ok"] is False and "capacity" in overflow["error"]
+    assert save_r["ok"] and save_r["n"] == 300 and bye["ok"]
+
+    # the saved index must be exactly what was enrolled: the synthetic
+    # rows bit-for-bit, the clip row equal to the one-shot describe
+    saved = np.load(tmp_path / "index.npz")
+    np.testing.assert_array_equal(saved["features"][:299], base)
+    np.testing.assert_array_equal(
+        saved["features"][299:], np.load(tmp_path / "clipfeat.npz")["features"])
+    assert saved["pids"][299] == 777 and saved["camids"][299] == 2
+
+    # the rank answer must match a host oracle over the saved index —
+    # the top-1 is the just-enrolled clip itself, every other hit is a
+    # negative-sim synthetic row, and no masked padding row (index >=
+    # 300, whose sim 0 beats every negative row) leaks through
+    matches = rank_r["results"][0]["matches"]
+    assert len(matches) == 5
+    assert matches[0]["gallery"] == 299 and matches[0]["pid"] == 777
+    assert 2.0 < matches[0]["score"] <= 3.0 + 1e-5
+    assert all(m["gallery"] < 300 for m in matches)
+    assert all(m["score"] < 0 for m in matches[1:])
+    qf = np.load(tmp_path / "clipfeat.npz")["features"].astype(np.float32)
+    sim = (qf @ saved["features"].T)[0]
+    np.testing.assert_array_equal(
+        [m["gallery"] for m in matches], np.argsort(-sim)[:5])
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
