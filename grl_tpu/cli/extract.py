@@ -338,6 +338,7 @@ def serve(args, inp=None, out=None):
       {"op": "ping"}
       {"op": "describe", "clips": "in.npz", "out": "feats.npz"}
       {"op": "rank", "clips": "in.npz", "topk": 5}      # needs an index
+      {"op": "rank", "clips": "in.npz", "rerank": true} # k-reciprocal
       {"op": "add", "clips": "new.npz"}                 # or "features"
       {"op": "save", "out": "index.npz"}
       {"op": "shutdown"}
@@ -436,6 +437,15 @@ def serve(args, inp=None, out=None):
             donate_argnums=0,
         )
 
+        @jax.jit
+        def rerank_topk(dist, n_valid):
+            # top-k of the re-ranked distances with the padding columns
+            # masked out; scores reported as -distance (ordinal only —
+            # the blended Jaccard/original scale, like `rank --rerank`)
+            cols = jnp.arange(dist.shape[1])[None, :]
+            neg = jnp.where(cols < n_valid, -dist, -jnp.inf)
+            return jax.lax.top_k(neg, k_max)
+
     def enroll(feats, pids, camids):
         """Append descriptor rows to the device-resident index."""
         n, n_add = idx["n"], feats.shape[0]
@@ -484,6 +494,67 @@ def serve(args, inp=None, out=None):
                 )
         return feats, labels["pids"], labels["camids"]
 
+    def matches_of(order_row, scores_row, topk):
+        return [
+            {"gallery": int(j), "pid": int(idx["pids"][j]),
+             "camid": int(idx["camids"][j]), "score": float(s)}
+            for j, s in zip(order_row[:topk], scores_row[:topk])
+        ]
+
+    def rank_reranked(clips, topk):
+        """k-reciprocal re-ranked retrieval (the `rank --rerank` math)
+        against the resident index, compiled ONCE at capacity: the masked
+        builder (engine/rerank.py::re_ranking_device_padded) takes the
+        valid counts as traced scalars, so enrollment never recompiles
+        the n^2 set-algebra program. Scores are -distance on the blended
+        Jaccard/original scale — ordinal only, not comparable to plain
+        rank similarities."""
+        from ..engine.evaluator import _euclidean, cosine_distance
+        from ..engine.rerank import re_ranking_device_padded
+
+        n = idx["n"]
+        n_q = clips.shape[0]
+        if n_q + n < 21:  # k1 + 1: below this the padded top-k clamps
+            raise ValueError(  # diverge from the reference's math
+                "rerank needs >= 21 total items (k1=20) — enroll more or "
+                "rank without rerank"
+            )
+        g_pad = idx["gf"].shape[0]
+        q_pad = meta["batch"] * -(-n_q // meta["batch"])
+        if q_pad + g_pad > 16384:
+            raise ValueError(
+                "serve rerank supports up to 16384 padded items (one-jit "
+                "builder); use 'extract rank --rerank' (staged builder) "
+                "for larger indexes"
+            )
+        feats = np.concatenate(
+            [np.asarray(call(c))[:sz]
+             for c, sz in _artifact_chunks(clips, meta["batch"])]
+        ).astype(np.float32)
+        qf = np.zeros((q_pad, feats.shape[1]), np.float32)
+        qf[:n_q] = feats
+        qf = jnp.asarray(qf)
+        # the gallery-gallery euclidean matrix only changes on enrollment;
+        # cache it device-resident per valid count
+        if idx.get("gg_n") != n:
+            idx["gg"] = _euclidean(idx["gf"], idx["gf"])
+            idx["gg_n"] = n
+        dist = re_ranking_device_padded(
+            cosine_distance(qf, idx["gf"]), _euclidean(qf, qf), idx["gg"],
+            n_q, n,
+            interpret=jax.default_backend() != "tpu",  # Pallas min-plus
+        )
+        scores, order = rerank_topk(dist, np.int32(n))
+        scores = np.asarray(scores)[:n_q]
+        order = np.asarray(order)[:n_q]
+        return {
+            "ok": True, "op": "rank", "reranked": True,
+            "results": [
+                {"query": r, "matches": matches_of(order[r], scores[r], topk)}
+                for r in range(n_q)
+            ],
+        }
+
     def handle(req):
         op = req.get("op")
         if op == "ping":
@@ -528,28 +599,23 @@ def serve(args, inp=None, out=None):
             if topk < 1:
                 raise ValueError("topk must be >= 1")
             topk = min(topk, k_max, idx["n"])
+            if req.get("rerank"):
+                return rank_reranked(clips, topk)
             results = []
             for ci, (chunk, size) in enumerate(
                 _artifact_chunks(clips, meta["batch"])
             ):
                 base = ci * meta["batch"]
+                # scores: cosine similarity of the 6144-d descriptor
+                # (3 L2-normed blocks -> range [-3, 3]); same convention
+                # as the rank subcommand's score
                 scores, order = rank_topk(chunk, idx["gf"],
                                           np.int32(idx["n"]))
-                scores = np.asarray(scores)[:size, :topk]
-                order = np.asarray(order)[:size, :topk]
+                scores = np.asarray(scores)[:size]
+                order = np.asarray(order)[:size]
                 results.extend(
-                    {
-                        "query": base + r,
-                        "matches": [
-                            {"gallery": int(j), "pid": int(idx["pids"][j]),
-                             "camid": int(idx["camids"][j]),
-                             # cosine similarity of the 6144-d descriptor
-                             # (3 L2-normed blocks -> range [-3, 3]); same
-                             # convention as the rank subcommand's score
-                             "score": float(s)}
-                            for j, s in zip(order[r], scores[r])
-                        ],
-                    }
+                    {"query": base + r,
+                     "matches": matches_of(order[r], scores[r], topk)}
                     for r in range(size)
                 )
             return {"ok": True, "op": "rank", "results": results}

@@ -636,6 +636,114 @@ def _make_build_v(k1, k2):
     return _build_v
 
 
+_PADDED_RERANK_CACHE = {}
+
+
+def re_ranking_device_padded(
+    q_g, q_q, g_g, nq, ng, *, k1=20, k2=6, lambda_value=0.3, interpret=False
+):
+    """Compile-once k-reciprocal re-ranking over CAPACITY-PADDED inputs.
+
+    Serving indexes grow incrementally (cli/extract.py ``serve`` enrolls
+    into a capacity-padded device buffer), so the distance matrices carry
+    trailing padding rows/columns whose contents are GARBAGE — re-running
+    :func:`re_ranking_device` at every valid size would recompile the
+    whole set-algebra program per enrollment. This variant takes the
+    valid counts ``nq``/``ng`` as traced scalars and masks inside the one
+    jit program: padding never enters the column-max normalization, sits
+    at distance 2.0 (strictly above the normalized max 1.0) with
+    self-distance 0 afterwards, so pad items' k-reciprocal sets are
+    pad-only and — because every expansion step composes subsets of the
+    valid set — no pad item ever contributes weight to a valid row's V.
+    Output rows past ``nq`` / columns past ``ng`` are garbage; callers
+    slice.
+
+    Exactness requires the top-k clamps to match the unpadded math:
+    callers must guarantee ``nq + ng >= k1 + 1`` (the serve op rejects
+    smaller indexes). Same math as the reference's ``re_ranking``
+    (reid/evaluator/rerank.py:37-104) on the valid slices — pinned in
+    tests/test_metrics.py against the host implementation with randomized
+    pad garbage.
+    """
+    import jax
+
+    key = (k1, k2, float(lambda_value), bool(interpret))
+    if key not in _PADDED_RERANK_CACHE:
+        _PADDED_RERANK_CACHE[key] = _make_padded_rerank(
+            k1, k2, lambda_value, interpret
+        )
+    fn = _PADDED_RERANK_CACHE[key]
+    return fn(q_g, q_q, g_g, jax.numpy.int32(nq), jax.numpy.int32(ng))
+
+
+def _make_padded_rerank(k1, k2, lambda_value, interpret):
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import minplus_matmul
+
+    @jax.jit
+    def _padded(q_g, q_q, g_g, nq, ng):
+        Q, G = q_q.shape[0], g_g.shape[0]
+        n = Q + G
+        valid = jnp.concatenate([jnp.arange(Q) < nq, jnp.arange(G) < ng])
+        pair = valid[:, None] & valid[None, :]
+        original = jnp.concatenate(
+            [
+                jnp.concatenate([q_q, q_g], axis=1),
+                jnp.concatenate([q_g.T, g_g], axis=1),
+            ],
+            axis=0,
+        )
+        original = jnp.square(original).astype(jnp.float32)
+        masked = jnp.where(pair, original, 0.0)
+        colmax = jnp.maximum(jnp.max(masked, axis=0), 1e-30)
+        original = (masked / colmax).T
+        # pad entries: strictly above the normalized max, self-nearest
+        original = jnp.where(pair, original, 2.0)
+        original = jnp.where(jnp.eye(n, dtype=bool), 0.0, original)
+        rows = jnp.arange(n)[:, None]
+
+        def topk_adj(k):
+            _, idx = jax.lax.top_k(-original, min(k, n))
+            return jnp.zeros((n, n), bool).at[rows, idx].set(True)
+
+        reciprocal = topk_adj(k1 + 1)
+        reciprocal &= reciprocal.T
+
+        half = int(np.around(k1 / 2.0)) + 1
+        b = topk_adj(half)
+        b &= b.T
+        b_sizes = jnp.sum(b, axis=1).astype(jnp.float32)
+
+        rf = reciprocal.astype(jnp.bfloat16)
+        bf = b.astype(jnp.bfloat16)
+        overlap = jnp.dot(rf, bf.T, preferred_element_type=jnp.float32)
+        qualifies = reciprocal & (overlap > (2.0 / 3.0) * b_sizes[None, :])
+        expanded = jnp.dot(
+            qualifies.astype(jnp.bfloat16), bf,
+            preferred_element_type=jnp.float32,
+        )
+        expansion = reciprocal | (expanded > 0)
+
+        weights = jnp.exp(-original) * expansion
+        v = weights / jnp.sum(weights, axis=1, keepdims=True)
+
+        if k2 != 1:
+            _, idx2 = jax.lax.top_k(-original, min(k2, n))
+            acc = jax.lax.fori_loop(
+                1, k2, lambda j, acc: acc + v[idx2[:, j]], v[idx2[:, 0]]
+            )
+            v = acc / k2
+
+        min_sum = minplus_matmul(v[:Q], v, interpret=interpret)
+        jaccard = 1.0 - min_sum / (2.0 - min_sum)
+        final = jaccard * (1 - lambda_value) + original[:Q] * lambda_value
+        return final[:, Q:]
+
+    return _padded
+
+
 def _topk_adjacency(rank, k):
     n = rank.shape[0]
     adj = np.zeros((n, n), dtype=bool)

@@ -672,6 +672,99 @@ def test_extract_serve_enrollment(tmp_path):
         [m["gallery"] for m in matches], np.argsort(-sim)[:5])
 
 
+def test_extract_serve_rerank(tmp_path):
+    """The daemon's {"rerank": true} rank must reproduce the one-shot
+    `rank --rerank` math (k-reciprocal re-ranking) against the grown
+    index through the compile-once masked builder: scores equal the host
+    re_ranking oracle at the returned indices, the order matches the
+    oracle's, and an index below k1+1 total items is rejected per
+    request (the padded top-k clamps would diverge from the reference
+    below that)."""
+    import io
+    import json
+
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+    from grl_tpu.cli.extract import serve
+
+    logs = tmp_path / "run"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+    model = tmp_path / "model.npz"
+    extract_main(extract_parser().parse_args([
+        "export-model", "--checkpoint", str(logs / "checkpoint.npz"),
+        "--tiny", "--num-classes", "4", "--batch", "4", "--seq_len", "2",
+        "--height", "64", "--width", "32", "-o", str(model),
+    ]))
+    meta = json.loads(str(np.load(model)["meta"]))
+
+    rng = np.random.RandomState(17)
+    qclips = rng.randint(0, 256, (2, 2, 64, 32, 3), np.uint8)
+    np.savez(tmp_path / "qclips.npz", clips=qclips)
+    synth = rng.randn(40, meta["dim"]).astype(np.float32)
+    synth /= np.linalg.norm(synth, axis=1, keepdims=True)
+    np.savez(tmp_path / "few.npz", features=synth[:10])
+    np.savez(tmp_path / "rest.npz", features=synth[10:],
+             pids=np.arange(10, 40), camids=np.arange(30) % 2)
+
+    reqs = "\n".join(json.dumps(r) for r in [
+        {"op": "add", "features": str(tmp_path / "few.npz")},
+        {"op": "rank", "clips": str(tmp_path / "qclips.npz"),
+         "rerank": True},                       # 10 + 2 < 21: rejected
+        {"op": "add", "features": str(tmp_path / "rest.npz")},
+        {"op": "add", "clips": str(tmp_path / "qclips.npz")},
+        {"op": "rank", "clips": str(tmp_path / "qclips.npz"),
+         "rerank": True, "topk": 5},
+        {"op": "rank", "clips": str(tmp_path / "qclips.npz"), "topk": 5},
+        {"op": "save", "out": str(tmp_path / "index.npz")},
+        {"op": "shutdown"},
+    ]) + "\n"
+    out = io.StringIO()
+    serve(extract_parser().parse_args([
+        "serve", "--model", str(model), "--capacity", "64", "--topk", "5",
+    ]), inp=io.StringIO(reqs), out=out)
+    (_a1, small, _a2, _a3, rr, plain, save_r,
+     _bye) = [json.loads(l) for l in out.getvalue().splitlines()]
+
+    assert small["ok"] is False and ">= 21" in small["error"]
+    assert save_r["ok"] and save_r["n"] == 42
+    assert rr["ok"] and rr.get("reranked") is True
+    assert plain["ok"] and "reranked" not in plain
+
+    # host oracle: the reference's re_ranking over the exact distance
+    # recipe the one-shot `rank --rerank` uses (negative-cosine q_g,
+    # euclidean q_q / g_g) on the saved index + described queries
+    from grl_tpu.engine.evaluator import _euclidean, cosine_distance
+    from grl_tpu.engine.rerank import re_ranking
+
+    extract_main(extract_parser().parse_args([
+        "describe", "--model", str(model),
+        "--clips", str(tmp_path / "qclips.npz"),
+        "-o", str(tmp_path / "qf.npz"),
+    ]))
+    qf = np.load(tmp_path / "qf.npz")["features"].astype(np.float32)
+    gf = np.load(tmp_path / "index.npz")["features"].astype(np.float32)
+    dist = re_ranking(
+        np.asarray(cosine_distance(qf, gf)),
+        np.asarray(_euclidean(qf, qf)),
+        np.asarray(_euclidean(gf, gf)),
+    )
+    for qi, rec in enumerate(rr["results"]):
+        got = [m["gallery"] for m in rec["matches"]]
+        scores = np.array([m["score"] for m in rec["matches"]])
+        assert len(got) == 5
+        np.testing.assert_array_equal(got, np.argsort(dist[qi])[:5])
+        np.testing.assert_allclose(scores, -dist[qi][got],
+                                   rtol=1e-4, atol=1e-5)
+        # plain cosine ranking puts the enrolled query clip (40 + qi)
+        # first; the re-ranked order is whatever the reference math says
+        # (on random synthetic neighborhoods it may legitimately demote
+        # the self-match), which the oracle equality above pins
+        assert plain["results"][qi]["matches"][0]["gallery"] == 40 + qi
+    # rerank and plain scores live on different scales by design
+    assert rr["results"][0]["matches"][0]["score"] != pytest.approx(
+        plain["results"][0]["matches"][0]["score"])
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_resume_across_mesh_sizes(tmp_path):
     """Elastic resume: a checkpoint written under one device count must

@@ -347,6 +347,62 @@ def test_blockwise_staged_stages_match_at_multiblock_sizes(monkeypatch):
     np.testing.assert_allclose(np.asarray(orig_blk), np.asarray(orig_ref)[:nq], rtol=1e-6)
 
 
+def test_padded_rerank_matches_host_on_valid_slices():
+    """re_ranking_device_padded (the serve daemon's compile-once rerank
+    over a capacity-padded index) must equal the host re_ranking of the
+    UNPADDED inputs on the valid slices — with the padding regions filled
+    with adversarial garbage (huge, tiny, negative, zero values), several
+    pad geometries including zero padding, varying valid counts through
+    ONE padded shape (traced scalars — growth must not retrace), and the
+    k2=1 no-query-expansion case."""
+    import jax.numpy as jnp
+
+    from grl_tpu.engine import rerank as R
+
+    rng = np.random.RandomState(11)
+
+    def dists(nq, ng):
+        feats = rng.randn(nq + ng, 8).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        d = np.sqrt(np.maximum(2 - 2 * (feats @ feats.T), 1e-12)).astype(np.float32)
+        np.fill_diagonal(d, 0.0)
+        return d[:nq, nq:], d[:nq, :nq], d[nq:, nq:]
+
+    def pad_garbage(m, rows, cols):
+        out = np.empty((rows, cols), np.float32)
+        out[:] = rng.choice([1e6, -5.0, 3e-8, 0.0], size=(rows, cols))
+        out[: m.shape[0], : m.shape[1]] = m
+        return out
+
+    for (nq, ng, Q, G), k2 in [
+        ((6, 30, 8, 48), 3),   # both axes padded
+        ((8, 30, 8, 48), 3),   # query axis full
+        ((6, 48, 8, 48), 3),   # gallery axis full
+        ((6, 30, 8, 48), 1),   # no query expansion
+    ]:
+        qg, qq, gg = dists(nq, ng)
+        want = re_ranking(qg, qq, gg, k1=5, k2=k2, lambda_value=0.3)
+        got = np.asarray(R.re_ranking_device_padded(
+            jnp.asarray(pad_garbage(qg, Q, G)),
+            jnp.asarray(pad_garbage(qq, Q, Q)),
+            jnp.asarray(pad_garbage(gg, G, G)),
+            nq, ng, k1=5, k2=k2, lambda_value=0.3, interpret=True,
+        ))[:nq, :ng]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # growth through one padded shape: a larger valid count in the SAME
+    # buffers stays correct (the jit traced nq/ng as values, not shapes)
+    qg, qq, gg = dists(7, 40)
+    want = re_ranking(qg, qq, gg, k1=5, k2=3, lambda_value=0.3)
+    got = np.asarray(R.re_ranking_device_padded(
+        jnp.asarray(pad_garbage(qg, 8, 48)),
+        jnp.asarray(pad_garbage(qq, 8, 8)),
+        jnp.asarray(pad_garbage(gg, 48, 48)),
+        7, 40, k1=5, k2=3, lambda_value=0.3, interpret=True,
+    ))[:7, :40]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_re_ranking_matches_oracle():
     rng = np.random.RandomState(11)
     feats = rng.randn(18, 8).astype(np.float32)
