@@ -407,6 +407,20 @@ def serve(args, inp=None, out=None):
         idx = {"n": n0, "capacity": capacity, "gf": jnp.asarray(buf),
                "pids": labels["pids"], "camids": labels["camids"]}
         k_max = min(args.topk, capacity)  # capacity >= 1 here
+        # rerank geometry is fixed at startup so serving never recompiles:
+        # queries pad to a fixed width, the index to capacity
+        if args.rerank_queries < 1:
+            raise SystemExit("serve --rerank-queries must be >= 1")
+        q_pad = meta["batch"] * -(-args.rerank_queries // meta["batch"])
+        rerank_unavailable = None
+        if q_pad + buf.shape[0] > 16384:
+            rerank_unavailable = (
+                f"rerank is unavailable: padded size {q_pad + buf.shape[0]} "
+                "(--rerank-queries rounded to the artifact batch + "
+                "--capacity + the enrollment block) exceeds the one-jit "
+                "builder's 16384 limit — use 'extract rank --rerank' "
+                "(staged builder) or a smaller --capacity"
+            )
 
         # gallery rides as an argument (a closed-over array would be baked
         # into the program as a constant); scores are the same negative-
@@ -503,12 +517,13 @@ def serve(args, inp=None, out=None):
 
     def rank_reranked(clips, topk):
         """k-reciprocal re-ranked retrieval (the `rank --rerank` math)
-        against the resident index, compiled ONCE at capacity: the masked
-        builder (engine/rerank.py::re_ranking_device_padded) takes the
-        valid counts as traced scalars, so enrollment never recompiles
-        the n^2 set-algebra program. Scores are -distance on the blended
-        Jaccard/original scale — ordinal only, not comparable to plain
-        rank similarities."""
+        against the resident index, compiled ONCE: queries are padded to
+        the fixed --rerank-queries width and the masked builder
+        (engine/rerank.py::re_ranking_device_padded) takes the valid
+        counts as traced scalars, so neither enrollment nor varying
+        request sizes recompile the n^2 set-algebra program. Scores are
+        -distance on the blended Jaccard/original scale — ordinal only,
+        not comparable to plain rank similarities."""
         from ..engine.evaluator import _euclidean, cosine_distance
         from ..engine.rerank import re_ranking_device_padded
 
@@ -519,13 +534,11 @@ def serve(args, inp=None, out=None):
                 "rerank needs >= 21 total items (k1=20) — enroll more or "
                 "rank without rerank"
             )
-        g_pad = idx["gf"].shape[0]
-        q_pad = meta["batch"] * -(-n_q // meta["batch"])
-        if q_pad + g_pad > 16384:
+        if n_q > q_pad:
             raise ValueError(
-                "serve rerank supports up to 16384 padded items (one-jit "
-                "builder); use 'extract rank --rerank' (staged builder) "
-                "for larger indexes"
+                f"rerank request has {n_q} queries but the daemon's "
+                f"compiled query width is {q_pad} — restart with "
+                f"--rerank-queries {n_q} or use 'extract rank --rerank'"
             )
         feats = np.concatenate(
             [np.asarray(call(c))[:sz]
@@ -547,13 +560,22 @@ def serve(args, inp=None, out=None):
         scores, order = rerank_topk(dist, np.int32(n))
         scores = np.asarray(scores)[:n_q]
         order = np.asarray(order)[:n_q]
-        return {
+        resp = {
             "ok": True, "op": "rank", "reranked": True,
             "results": [
                 {"query": r, "matches": matches_of(order[r], scores[r], topk)}
                 for r in range(n_q)
             ],
         }
+        if n_q + n < 42:  # 2 * (k1 + 1), warn_if_degenerate's regime:
+            # neighborhoods cover most of the set and re-ranking can
+            # scramble an otherwise-correct ranking. The one-shot CLI
+            # warns on stderr; a daemon client only sees the response.
+            resp["warning"] = (
+                f"re-ranking {n_q + n} items is degenerate below 42 "
+                "(2*(k1+1)) — results may be worse than plain rank"
+            )
+        return resp
 
     def handle(req):
         op = req.get("op")
@@ -590,6 +612,8 @@ def serve(args, inp=None, out=None):
         if op == "rank":
             if idx is None:
                 raise ValueError("rank needs serve --gallery or --capacity")
+            if req.get("rerank") and rerank_unavailable:
+                raise ValueError(rerank_unavailable)  # config error first
             if idx["n"] == 0:
                 raise ValueError("index is empty — enroll with add first")
             src = np.load(req["clips"])
@@ -752,6 +776,12 @@ def build_parser():
                         "buffer is padded to this once, so growth never "
                         "recompiles); 0 = frozen at the --gallery size; "
                         "with no --gallery, starts an empty index")
+    s.add_argument("--rerank-queries", type=int, default=16,
+                   dest="rerank_queries",
+                   help="max queries per rerank request (the k-reciprocal "
+                        "program is compiled once at this width; larger "
+                        "requests are rejected so serving never stalls on "
+                        "a recompile)")
     return parser
 
 

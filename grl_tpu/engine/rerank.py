@@ -578,6 +578,55 @@ def _make_staged_stages(n0, n_pad, mesh):
     }
 
 
+def _v_from_original(original, k1, k2):
+    """The one-jit k-reciprocal set algebra: normalized distance matrix ->
+    membership-weight matrix V. Traced inside both the whole-matrix
+    builder (:func:`_make_build_v`) and the capacity-padded serving
+    builder (:func:`_make_padded_rerank`) — ONE implementation so the two
+    cannot diverge (the staged LS-VID stages and the host numpy form are
+    the intentionally separate shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = original.shape[0]
+    rows = jnp.arange(n)[:, None]
+
+    def topk_adj(k):
+        # numpy's rank[:, :k] silently clamps when k > n; match it
+        _, idx = jax.lax.top_k(-original, min(k, n))
+        return jnp.zeros((n, n), bool).at[rows, idx].set(True)
+
+    reciprocal = topk_adj(k1 + 1)
+    reciprocal &= reciprocal.T
+
+    half = int(np.around(k1 / 2.0)) + 1
+    b = topk_adj(half)
+    b &= b.T
+    b_sizes = jnp.sum(b, axis=1).astype(jnp.float32)
+
+    rf = reciprocal.astype(jnp.bfloat16)
+    bf = b.astype(jnp.bfloat16)
+    overlap = jnp.dot(rf, bf.T, preferred_element_type=jnp.float32)
+    qualifies = reciprocal & (overlap > (2.0 / 3.0) * b_sizes[None, :])
+    expanded = jnp.dot(
+        qualifies.astype(jnp.bfloat16), bf, preferred_element_type=jnp.float32
+    )
+    expansion = reciprocal | (expanded > 0)
+
+    weights = jnp.exp(-original) * expansion
+    v = weights / jnp.sum(weights, axis=1, keepdims=True)
+
+    if k2 != 1:
+        _, idx2 = jax.lax.top_k(-original, min(k2, n))
+        # fori_loop keeps ONE gather buffer live (unrolled, XLA holds
+        # all k2 full-size gather results simultaneously)
+        acc = jax.lax.fori_loop(
+            1, k2, lambda j, acc: acc + v[idx2[:, j]], v[idx2[:, 0]]
+        )
+        v = acc / k2
+    return v
+
+
 def _make_build_v(k1, k2):
     """Jitted membership-weight builder, cached per (k1, k2) — a fresh jit
     per call would recompile the whole set-algebra program every time."""
@@ -595,43 +644,7 @@ def _make_build_v(k1, k2):
         )
         original = jnp.square(original).astype(jnp.float32)
         original = (original / jnp.max(original, axis=0)).T
-        n = original.shape[0]
-        rows = jnp.arange(n)[:, None]
-
-        def topk_adj(k):
-            # numpy's rank[:, :k] silently clamps when k > n; match it
-            _, idx = jax.lax.top_k(-original, min(k, n))
-            return jnp.zeros((n, n), bool).at[rows, idx].set(True)
-
-        reciprocal = topk_adj(k1 + 1)
-        reciprocal &= reciprocal.T
-
-        half = int(np.around(k1 / 2.0)) + 1
-        b = topk_adj(half)
-        b &= b.T
-        b_sizes = jnp.sum(b, axis=1).astype(jnp.float32)
-
-        rf = reciprocal.astype(jnp.bfloat16)
-        bf = b.astype(jnp.bfloat16)
-        overlap = jnp.dot(rf, bf.T, preferred_element_type=jnp.float32)
-        qualifies = reciprocal & (overlap > (2.0 / 3.0) * b_sizes[None, :])
-        expanded = jnp.dot(
-            qualifies.astype(jnp.bfloat16), bf, preferred_element_type=jnp.float32
-        )
-        expansion = reciprocal | (expanded > 0)
-
-        weights = jnp.exp(-original) * expansion
-        v = weights / jnp.sum(weights, axis=1, keepdims=True)
-
-        if k2 != 1:
-            _, idx2 = jax.lax.top_k(-original, min(k2, n))
-            # fori_loop keeps ONE gather buffer live (unrolled, XLA holds
-            # all k2 full-size gather results simultaneously)
-            acc = jax.lax.fori_loop(
-                1, k2, lambda j, acc: acc + v[idx2[:, j]], v[idx2[:, 0]]
-            )
-            v = acc / k2
-        return v, original
+        return _v_from_original(original, k1, k2), original
 
     return _build_v
 
@@ -702,40 +715,8 @@ def _make_padded_rerank(k1, k2, lambda_value, interpret):
         # pad entries: strictly above the normalized max, self-nearest
         original = jnp.where(pair, original, 2.0)
         original = jnp.where(jnp.eye(n, dtype=bool), 0.0, original)
-        rows = jnp.arange(n)[:, None]
 
-        def topk_adj(k):
-            _, idx = jax.lax.top_k(-original, min(k, n))
-            return jnp.zeros((n, n), bool).at[rows, idx].set(True)
-
-        reciprocal = topk_adj(k1 + 1)
-        reciprocal &= reciprocal.T
-
-        half = int(np.around(k1 / 2.0)) + 1
-        b = topk_adj(half)
-        b &= b.T
-        b_sizes = jnp.sum(b, axis=1).astype(jnp.float32)
-
-        rf = reciprocal.astype(jnp.bfloat16)
-        bf = b.astype(jnp.bfloat16)
-        overlap = jnp.dot(rf, bf.T, preferred_element_type=jnp.float32)
-        qualifies = reciprocal & (overlap > (2.0 / 3.0) * b_sizes[None, :])
-        expanded = jnp.dot(
-            qualifies.astype(jnp.bfloat16), bf,
-            preferred_element_type=jnp.float32,
-        )
-        expansion = reciprocal | (expanded > 0)
-
-        weights = jnp.exp(-original) * expansion
-        v = weights / jnp.sum(weights, axis=1, keepdims=True)
-
-        if k2 != 1:
-            _, idx2 = jax.lax.top_k(-original, min(k2, n))
-            acc = jax.lax.fori_loop(
-                1, k2, lambda j, acc: acc + v[idx2[:, j]], v[idx2[:, 0]]
-            )
-            v = acc / k2
-
+        v = _v_from_original(original, k1, k2)
         min_sum = minplus_matmul(v[:Q], v, interpret=interpret)
         jaccard = 1.0 - min_sum / (2.0 - min_sum)
         final = jaccard * (1 - lambda_value) + original[:Q] * lambda_value

@@ -700,6 +700,9 @@ def test_extract_serve_rerank(tmp_path):
     rng = np.random.RandomState(17)
     qclips = rng.randint(0, 256, (2, 2, 64, 32, 3), np.uint8)
     np.savez(tmp_path / "qclips.npz", clips=qclips)
+    np.savez(tmp_path / "qclip1.npz", clips=qclips[:1])
+    np.savez(tmp_path / "qclips6.npz",
+             clips=rng.randint(0, 256, (6, 2, 64, 32, 3), np.uint8))
     synth = rng.randn(40, meta["dim"]).astype(np.float32)
     synth /= np.linalg.norm(synth, axis=1, keepdims=True)
     np.savez(tmp_path / "few.npz", features=synth[:10])
@@ -711,6 +714,10 @@ def test_extract_serve_rerank(tmp_path):
         {"op": "rank", "clips": str(tmp_path / "qclips.npz"),
          "rerank": True},                       # 10 + 2 < 21: rejected
         {"op": "add", "features": str(tmp_path / "rest.npz")},
+        {"op": "rank", "clips": str(tmp_path / "qclip1.npz"),
+         "rerank": True},          # 40 + 1 < 42: served WITH a warning
+        {"op": "rank", "clips": str(tmp_path / "qclips6.npz"),
+         "rerank": True},          # 6 queries > compiled width 4
         {"op": "add", "clips": str(tmp_path / "qclips.npz")},
         {"op": "rank", "clips": str(tmp_path / "qclips.npz"),
          "rerank": True, "topk": 5},
@@ -721,13 +728,17 @@ def test_extract_serve_rerank(tmp_path):
     out = io.StringIO()
     serve(extract_parser().parse_args([
         "serve", "--model", str(model), "--capacity", "64", "--topk", "5",
+        "--rerank-queries", "4",
     ]), inp=io.StringIO(reqs), out=out)
-    (_a1, small, _a2, _a3, rr, plain, save_r,
+    (_a1, small, _a2, degen, wide, _a3, rr, plain, save_r,
      _bye) = [json.loads(l) for l in out.getvalue().splitlines()]
 
     assert small["ok"] is False and ">= 21" in small["error"]
+    assert degen["ok"] and degen["reranked"] and "degenerate" in degen["warning"]
+    assert wide["ok"] is False and "--rerank-queries" in wide["error"]
     assert save_r["ok"] and save_r["n"] == 42
     assert rr["ok"] and rr.get("reranked") is True
+    assert "warning" not in rr  # 44 items: out of the degenerate regime
     assert plain["ok"] and "reranked" not in plain
 
     # host oracle: the reference's re_ranking over the exact distance
@@ -763,6 +774,17 @@ def test_extract_serve_rerank(tmp_path):
     # rerank and plain scores live on different scales by design
     assert rr["results"][0]["matches"][0]["score"] != pytest.approx(
         plain["results"][0]["matches"][0]["score"])
+
+    # past the one-jit builder's 16384-item limit the daemon must reject
+    # rerank requests with the remedy, not stall on a staged compile
+    out2 = io.StringIO()
+    serve(extract_parser().parse_args([
+        "serve", "--model", str(model), "--capacity", "17000",
+    ]), inp=io.StringIO(json.dumps(
+        {"op": "rank", "clips": str(tmp_path / "qclips.npz"),
+         "rerank": True}) + "\n"), out=out2)
+    r = json.loads(out2.getvalue().splitlines()[0])
+    assert r["ok"] is False and "16384" in r["error"]
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
