@@ -370,6 +370,7 @@ def serve(args, inp=None, out=None):
 
     call, meta, raw_call = _load_artifact(args.model)
     idx = rank_topk = None
+    rerank_unavailable, q_pad = "rank needs serve --gallery or --capacity", 0
     ADD_BLOCK = 256  # fixed enrollment granularity: one compiled update
     if args.gallery or args.capacity:
         if args.topk < 1:
@@ -459,6 +460,11 @@ def serve(args, inp=None, out=None):
             cols = jnp.arange(dist.shape[1])[None, :]
             neg = jnp.where(cols < n_valid, -dist, -jnp.inf)
             return jax.lax.top_k(neg, k_max)
+
+    # the Pallas min-plus kernel inside the padded rerank is TPU-only;
+    # other backends run it in interpret mode (slow — CPU serving of
+    # rerank is a test/degenerate configuration)
+    rr_interpret = jax.default_backend() != "tpu"
 
     def enroll(feats, pids, camids):
         """Append descriptor rows to the device-resident index."""
@@ -555,7 +561,7 @@ def serve(args, inp=None, out=None):
         dist = re_ranking_device_padded(
             cosine_distance(qf, idx["gf"]), _euclidean(qf, qf), idx["gg"],
             n_q, n,
-            interpret=jax.default_backend() != "tpu",  # Pallas min-plus
+            interpret=rr_interpret,
         )
         scores, order = rerank_topk(dist, np.int32(n))
         scores = np.asarray(scores)[:n_q]
@@ -585,6 +591,11 @@ def serve(args, inp=None, out=None):
                 "batch": meta["batch"],
                 "gallery": idx["n"] if idx is not None else 0,
                 "capacity": idx["capacity"] if idx is not None else 0,
+                # client discoverability: whether rerank requests can
+                # succeed on this config, and the compiled query width
+                "rerank": bool(idx is not None and not rerank_unavailable),
+                "rerank_queries": q_pad if (
+                    idx is not None and not rerank_unavailable) else 0,
             }
         if op == "shutdown":
             return {"ok": True, "op": "shutdown"}
@@ -644,6 +655,39 @@ def serve(args, inp=None, out=None):
                 )
             return {"ok": True, "op": "rank", "results": results}
         raise ValueError(f"unknown op {op!r}")
+
+    if getattr(args, "warmup", False):
+        # pre-compile every serving program before accepting requests:
+        # first-request colds measured 278-402 s on a tunnel session at
+        # MARS scale (docs/PERFORMANCE.md) — a production daemon should
+        # pay them before it declares readiness, not on a live query
+        t0 = time.time()
+        dummy = np.zeros((meta["batch"], meta["seq_len"], meta["height"],
+                          meta["width"], meta["channels"]), np.uint8)
+        float(call(dummy)[0, 0])  # descriptor program
+        if idx is not None:
+            n1 = np.int32(max(idx["n"], 1))
+            float(rank_topk(dummy, idx["gf"], n1)[0][0, 0])
+            # enrollment update: writing zeros at offset n touches only
+            # the invalid region (rows >= n are zeros already)
+            idx["gf"] = gf_update(
+                idx["gf"], jnp.zeros((ADD_BLOCK, meta["dim"]), jnp.float32),
+                np.int32(idx["n"]),
+            )
+            if not rerank_unavailable:
+                from ..engine.evaluator import _euclidean, cosine_distance
+                from ..engine.rerank import re_ranking_device_padded
+
+                if idx.get("gg_n") != idx["n"]:
+                    idx["gg"] = _euclidean(idx["gf"], idx["gf"])
+                    idx["gg_n"] = idx["n"]
+                qf0 = jnp.zeros((q_pad, meta["dim"]), jnp.float32)
+                d = re_ranking_device_padded(
+                    cosine_distance(qf0, idx["gf"]), _euclidean(qf0, qf0),
+                    idx["gg"], 1, n1, interpret=rr_interpret,
+                )
+                float(rerank_topk(d, n1)[0][0, 0])
+        print(f"warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
 
     print(
         f"serving {args.model} (batch {meta['batch']}, dim {meta['dim']}"
@@ -782,6 +826,11 @@ def build_parser():
                         "program is compiled once at this width; larger "
                         "requests are rejected so serving never stalls on "
                         "a recompile)")
+    s.add_argument("--warmup", action="store_true",
+                   help="pre-compile every serving program (describe, "
+                        "rank, enrollment, rerank) before accepting "
+                        "requests — first-request compiles otherwise cost "
+                        "minutes at full model size")
     return parser
 
 

@@ -510,6 +510,7 @@ def test_extract_serve_loop(tmp_path):
 
     assert ping == {"ok": True, "op": "ping", "dim": desc["dim"],
                     "batch": 4, "gallery": 5, "capacity": 5,
+                    "rerank": True, "rerank_queries": 16,
                     "ms": ping["ms"]}
     assert bad["ok"] is False and "JSONDecodeError" in bad["error"]
     assert rank_k0["ok"] is False and "topk must be >= 1" in rank_k0["error"]
@@ -728,7 +729,7 @@ def test_extract_serve_rerank(tmp_path):
     out = io.StringIO()
     serve(extract_parser().parse_args([
         "serve", "--model", str(model), "--capacity", "64", "--topk", "5",
-        "--rerank-queries", "4",
+        "--rerank-queries", "4", "--warmup",
     ]), inp=io.StringIO(reqs), out=out)
     (_a1, small, _a2, degen, wide, _a3, rr, plain, save_r,
      _bye) = [json.loads(l) for l in out.getvalue().splitlines()]
