@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import os.path as osp
 
 import numpy as np
@@ -332,8 +333,10 @@ def serve(args, inp=None, out=None):
     One-shot CLI invocations pay process start + weight upload + compile
     (or cache load) PER CALL — on a tunneled link the weight upload alone
     is ~115 MB (docs/PERFORMANCE.md). ``serve`` pays it once, then answers
-    requests over a JSON-lines protocol: one request object per stdin
-    line, one response object per stdout line (logs go to stderr). Ops:
+    requests over a JSON-lines protocol: one request object per line, one
+    response object per line (logs go to stderr) — over stdin/stdout by
+    default, or over a TCP/unix socket with ``--listen`` (sequential
+    multi-client). Ops:
 
       {"op": "ping"}
       {"op": "describe", "clips": "in.npz", "out": "feats.npz"}
@@ -696,23 +699,72 @@ def serve(args, inp=None, out=None):
         + ") — one JSON request per line",
         file=sys.stderr,
     )
-    n_req = 0
-    for line in inp:
-        line = line.strip()
-        if not line:
-            continue
-        t0 = time.perf_counter()
-        try:
-            req = json.loads(line)
-            resp = handle(req)
-        except Exception as e:  # noqa: BLE001 — per-request fault isolation
-            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        resp["ms"] = round((time.perf_counter() - t0) * 1e3, 2)
-        out.write(json.dumps(resp) + "\n")
-        out.flush()
-        n_req += 1
-        if resp.get("op") == "shutdown":
-            break
+    def serve_lines(fin, fout):
+        """One JSON-lines conversation; returns (#served, shutdown?)."""
+        served = 0
+        for line in fin:
+            line = line.strip()
+            if not line:
+                continue
+            t0 = time.perf_counter()
+            try:
+                req = json.loads(line)
+                resp = handle(req)
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            resp["ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+            fout.write(json.dumps(resp) + "\n")
+            fout.flush()
+            served += 1
+            if resp.get("op") == "shutdown":
+                return served, True
+        return served, False
+
+    if getattr(args, "listen", ""):
+        # socket mode: clients connect and disconnect freely (sequential —
+        # one device, one request at a time); {"op": "shutdown"} from any
+        # client stops the DAEMON. TCP binds are for trusted networks
+        # (no auth on the protocol); unix:PATH scopes by filesystem perms.
+        import socket as socklib
+
+        if args.listen.startswith("unix:"):
+            path = args.listen[5:]
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            srv = socklib.socket(socklib.AF_UNIX)
+            srv.bind(path)
+            bound = args.listen
+        else:
+            host, _, port = args.listen.rpartition(":")
+            srv = socklib.socket(socklib.AF_INET)
+            srv.setsockopt(socklib.SOL_SOCKET, socklib.SO_REUSEADDR, 1)
+            srv.bind((host or "127.0.0.1", int(port)))
+            bound = "%s:%d" % srv.getsockname()[:2]  # resolves port 0
+        srv.listen(1)
+        print(f"listening on {bound}", file=sys.stderr, flush=True)
+        n_req, stopped = 0, False
+        while not stopped:
+            conn, _peer = srv.accept()
+            with conn:
+                try:
+                    served, stopped = serve_lines(
+                        conn.makefile("r", encoding="utf-8"),
+                        conn.makefile("w", encoding="utf-8"),
+                    )
+                    n_req += served
+                except OSError as e:  # client vanished mid-reply
+                    print(f"client dropped: {e}", file=sys.stderr)
+        srv.close()
+        if args.listen.startswith("unix:"):
+            try:
+                os.unlink(args.listen[5:])
+            except OSError:
+                pass
+        return n_req
+
+    n_req, _ = serve_lines(inp, out)
     return n_req
 
 
@@ -831,6 +883,13 @@ def build_parser():
                         "rank, enrollment, rerank) before accepting "
                         "requests — first-request compiles otherwise cost "
                         "minutes at full model size")
+    s.add_argument("--listen", type=str, default="",
+                   help="serve over a socket instead of stdin/stdout: "
+                        "'host:port' (port 0 picks one; the bound address "
+                        "prints to stderr) or 'unix:/path'. Clients "
+                        "connect/disconnect freely (served sequentially); "
+                        "a shutdown op from any client stops the daemon. "
+                        "No auth — bind trusted interfaces only")
     return parser
 
 

@@ -7,6 +7,7 @@ virtual 8-device mesh."""
 import os.path as osp
 import re
 import sys
+import time
 
 import jax
 import numpy as np
@@ -671,6 +672,82 @@ def test_extract_serve_enrollment(tmp_path):
     sim = (qf @ saved["features"].T)[0]
     np.testing.assert_array_equal(
         [m["gallery"] for m in matches], np.argsort(-sim)[:5])
+
+
+def test_extract_serve_listen_socket(tmp_path):
+    """--listen unix:PATH serves the same JSON-lines protocol over a
+    socket: multiple sequential clients connect, get answers, and
+    disconnect (EOF returns the daemon to accept()); a shutdown op from
+    any client stops the daemon; the socket file is cleaned up."""
+    import json
+    import socket
+    import threading
+
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+    from grl_tpu.cli.extract import serve
+
+    logs = tmp_path / "run"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+    model = tmp_path / "model.npz"
+    extract_main(extract_parser().parse_args([
+        "export-model", "--checkpoint", str(logs / "checkpoint.npz"),
+        "--tiny", "--num-classes", "4", "--batch", "4", "--seq_len", "2",
+        "--height", "64", "--width", "32", "-o", str(model),
+    ]))
+    rng = np.random.RandomState(5)
+    np.savez(tmp_path / "g.npz",
+             clips=rng.randint(0, 256, (3, 2, 64, 32, 3), np.uint8))
+    extract_main(extract_parser().parse_args([
+        "describe", "--model", str(model), "--clips", str(tmp_path / "g.npz"),
+        "-o", str(tmp_path / "gal.npz"),
+    ]))
+
+    sock_path = str(tmp_path / "serve.sock")
+    result = {}
+
+    def run_daemon():
+        result["n"] = serve(extract_parser().parse_args([
+            "serve", "--model", str(model),
+            "--gallery", str(tmp_path / "gal.npz"),
+            "--listen", f"unix:{sock_path}",
+        ]))
+
+    t = threading.Thread(target=run_daemon)
+    t.start()
+    deadline = time.time() + 120
+    while not osp.exists(sock_path):
+        assert time.time() < deadline and t.is_alive()
+        time.sleep(0.05)
+
+    def client(reqs):
+        with socket.socket(socket.AF_UNIX) as c:
+            c.connect(sock_path)
+            fin = c.makefile("r", encoding="utf-8")
+            fout = c.makefile("w", encoding="utf-8")
+            resps = []
+            for r in reqs:
+                fout.write(json.dumps(r) + "\n")
+                fout.flush()
+                resps.append(json.loads(fin.readline()))
+            return resps
+
+    # client 1: ping + rank, then disconnects (daemon must keep running)
+    ping, rank_r = client([
+        {"op": "ping"},
+        {"op": "rank", "clips": str(tmp_path / "g.npz"), "topk": 2},
+    ])
+    assert ping["ok"] and ping["gallery"] == 3
+    assert rank_r["ok"]
+    # gallery clips rank themselves first
+    assert [r["matches"][0]["gallery"] for r in rank_r["results"]] == [0, 1, 2]
+
+    # client 2: shutdown stops the daemon
+    (bye,) = client([{"op": "shutdown"}])
+    assert bye["ok"]
+    t.join(timeout=120)
+    assert not t.is_alive() and result["n"] == 3
+    assert not osp.exists(sock_path)  # cleaned up
 
 
 def test_extract_serve_rerank(tmp_path):
