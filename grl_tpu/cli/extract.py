@@ -335,10 +335,12 @@ def serve(args, inp=None, out=None):
     is ~115 MB (docs/PERFORMANCE.md). ``serve`` pays it once, then answers
     requests over a JSON-lines protocol: one request object per line, one
     response object per line (logs go to stderr) — over stdin/stdout by
-    default, or over a TCP/unix socket with ``--listen`` (sequential
-    multi-client). Ops:
+    default, or over a TCP/unix socket with ``--listen`` (concurrent
+    clients, one thread per connection; device work is serialized, so an
+    idle client never blocks another's requests). Ops:
 
       {"op": "ping"}
+      {"op": "stats"}                                   # per-op counters
       {"op": "describe", "clips": "in.npz", "out": "feats.npz"}
       {"op": "rank", "clips": "in.npz", "topk": 5}      # needs an index
       {"op": "rank", "clips": "in.npz", "rerank": true} # k-reciprocal
@@ -361,7 +363,16 @@ def serve(args, inp=None, out=None):
     index (enroll-from-scratch). A malformed request gets ``{"ok": false,
     "error": ...}`` and the loop continues — a daemon must not die on one
     bad request. Every response carries ``ms`` (request wall time).
+
+    Lifecycle: SIGTERM/SIGINT shut the daemon down cleanly — the in-flight
+    request finishes (its response is still written), the listening socket
+    closes, unix socket files are unlinked, and the process exits 0. This
+    is the process-manager path (systemd et al deliver TERM, not a polite
+    ``{"op": "shutdown"}``). In stdin/stdout mode a signal takes effect at
+    the next request boundary; EOF on stdin remains the normal stop.
     """
+    import signal
+    import socket as socklib
     import sys
     import time
 
@@ -600,6 +611,19 @@ def serve(args, inp=None, out=None):
                 "rerank_queries": q_pad if (
                     idx is not None and not rerank_unavailable) else 0,
             }
+        if op == "stats":
+            # monitoring surface: per-op counters + latency aggregates
+            # (request wall time incl. the device-serialization wait)
+            with lifecycle["lock"]:
+                ops = {
+                    name: {"n": s["n"], "errors": s["errors"],
+                           "ms_mean": round(s["ms_total"] / s["n"], 2),
+                           "ms_max": s["ms_max"]}
+                    for name, s in stats.items()
+                }
+            return {"ok": True, "op": "stats", "ops": ops,
+                    "uptime_s": round(time.time() - lifecycle["t0"], 1),
+                    "gallery": idx["n"] if idx is not None else 0}
         if op == "shutdown":
             return {"ok": True, "op": "shutdown"}
         if op == "describe":
@@ -699,6 +723,54 @@ def serve(args, inp=None, out=None):
         + ") — one JSON request per line",
         file=sys.stderr,
     )
+    import threading
+
+    # graceful shutdown state, shared by the signal handler, the shutdown
+    # op, and every connection thread. A signal handler may only be
+    # installed from the main thread (in-process tests drive serve() from
+    # worker threads — there the shutdown op / EOF path still applies).
+    lifecycle = {
+        "stop": False,
+        "srv": None,
+        "conns": set(),
+        "lock": threading.Lock(),     # conns set + stats aggregates
+        "handle": threading.Lock(),   # serializes device work across clients
+        "t0": time.time(),
+    }
+    stats = {}
+
+    def _stop_everything(why):
+        # Finish in-flight requests, then exit cleanly. Blocked syscalls
+        # must FAIL rather than be retried (the signal case runs mid-
+        # syscall and PEP 475 silently retries after the handler returns):
+        # full shutdown on the listening socket aborts accept(); read-side
+        # shutdown on live connections turns their blocked readline into
+        # EOF while each response side still flushes.
+        lifecycle["stop"] = True
+        print(f"{why}: shutting down", file=sys.stderr)
+        if lifecycle["srv"] is not None:
+            try:
+                lifecycle["srv"].shutdown(socklib.SHUT_RDWR)
+            except OSError:
+                pass
+        with lifecycle["lock"]:
+            live = list(lifecycle["conns"])
+        for conn in live:
+            try:
+                conn.shutdown(socklib.SHUT_RD)
+            except OSError:
+                pass
+
+    def _graceful(signum, _frame):
+        _stop_everything(f"caught signal {signum}")
+
+    prev_handlers = {}
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _graceful)
+    except ValueError:  # not the main thread
+        prev_handlers = {}
+
     def serve_lines(fin, fout):
         """One JSON-lines conversation; returns (#served, shutdown?)."""
         served = 0
@@ -709,24 +781,35 @@ def serve(args, inp=None, out=None):
             t0 = time.perf_counter()
             try:
                 req = json.loads(line)
-                resp = handle(req)
+                with lifecycle["handle"]:  # one device, one request at a time
+                    resp = handle(req)
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
             resp["ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+            with lifecycle["lock"]:
+                s = stats.setdefault(resp.get("op") or "invalid",
+                                     {"n": 0, "errors": 0,
+                                      "ms_total": 0.0, "ms_max": 0.0})
+                s["n"] += 1
+                s["errors"] += 0 if resp.get("ok") else 1
+                s["ms_total"] += resp["ms"]
+                s["ms_max"] = max(s["ms_max"], resp["ms"])
             fout.write(json.dumps(resp) + "\n")
             fout.flush()
             served += 1
-            if resp.get("op") == "shutdown":
+            if resp.get("op") == "shutdown" or lifecycle["stop"]:
                 return served, True
         return served, False
 
-    if getattr(args, "listen", ""):
+    def serve_transport():
+        if not getattr(args, "listen", ""):
+            n, _ = serve_lines(inp, out)
+            return n
+
         # socket mode: clients connect and disconnect freely (sequential —
         # one device, one request at a time); {"op": "shutdown"} from any
         # client stops the DAEMON. TCP binds are for trusted networks
         # (no auth on the protocol); unix:PATH scopes by filesystem perms.
-        import socket as socklib
-
         if args.listen.startswith("unix:"):
             path = args.listen[5:]
             try:
@@ -742,30 +825,70 @@ def serve(args, inp=None, out=None):
             srv.setsockopt(socklib.SOL_SOCKET, socklib.SO_REUSEADDR, 1)
             srv.bind((host or "127.0.0.1", int(port)))
             bound = "%s:%d" % srv.getsockname()[:2]  # resolves port 0
-        srv.listen(1)
+        srv.listen(16)
+        lifecycle["srv"] = srv
         print(f"listening on {bound}", file=sys.stderr, flush=True)
-        n_req, stopped = 0, False
-        while not stopped:
-            conn, _peer = srv.accept()
+        n_req = [0]
+        threads = []
+
+        def conversation(conn):
+            # one thread per connected client: an idle client must not
+            # block other clients' requests (device work itself is
+            # serialized by lifecycle["handle"] inside serve_lines)
+            stopped = False
             with conn:
                 try:
                     served, stopped = serve_lines(
                         conn.makefile("r", encoding="utf-8"),
                         conn.makefile("w", encoding="utf-8"),
                     )
-                    n_req += served
+                    with lifecycle["lock"]:
+                        n_req[0] += served
                 except OSError as e:  # client vanished mid-reply
                     print(f"client dropped: {e}", file=sys.stderr)
-        srv.close()
-        if args.listen.startswith("unix:"):
-            try:
-                os.unlink(args.listen[5:])
-            except OSError:
-                pass
-        return n_req
+                finally:
+                    with lifecycle["lock"]:
+                        lifecycle["conns"].discard(conn)
+            if stopped and not lifecycle["stop"]:
+                _stop_everything("shutdown op")  # from any client
 
-    n_req, _ = serve_lines(inp, out)
-    return n_req
+        try:
+            while not lifecycle["stop"]:
+                try:
+                    conn, _peer = srv.accept()
+                except OSError:
+                    if lifecycle["stop"]:  # _stop_everything aborted accept
+                        break
+                    raise
+                with lifecycle["lock"]:
+                    lifecycle["conns"].add(conn)
+                if lifecycle["stop"]:
+                    # raced _stop_everything's conns snapshot: deliver the
+                    # EOF it would have sent, or this reader blocks forever
+                    try:
+                        conn.shutdown(socklib.SHUT_RD)
+                    except OSError:
+                        pass
+                t = threading.Thread(target=conversation, args=(conn,),
+                                     daemon=True)
+                t.start()
+                threads.append(t)
+            for t in threads:  # in-flight requests finish; readers got EOF
+                t.join()
+        finally:
+            srv.close()
+            if args.listen.startswith("unix:"):
+                try:
+                    os.unlink(args.listen[5:])
+                except OSError:
+                    pass
+        return n_req[0]
+
+    try:
+        return serve_transport()
+    finally:
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
 
 
 def build_parser():
@@ -887,9 +1010,11 @@ def build_parser():
                    help="serve over a socket instead of stdin/stdout: "
                         "'host:port' (port 0 picks one; the bound address "
                         "prints to stderr) or 'unix:/path'. Clients "
-                        "connect/disconnect freely (served sequentially); "
-                        "a shutdown op from any client stops the daemon. "
-                        "No auth — bind trusted interfaces only")
+                        "connect/disconnect freely and are served "
+                        "concurrently (device work serialized); a "
+                        "shutdown op from any client, or SIGTERM/SIGINT, "
+                        "stops the daemon cleanly. No auth — bind trusted "
+                        "interfaces only")
     return parser
 
 

@@ -732,22 +732,137 @@ def test_extract_serve_listen_socket(tmp_path):
                 resps.append(json.loads(fin.readline()))
             return resps
 
-    # client 1: ping + rank, then disconnects (daemon must keep running)
-    ping, rank_r = client([
-        {"op": "ping"},
-        {"op": "rank", "clips": str(tmp_path / "g.npz"), "topk": 2},
-    ])
+    # client 1 pings, then goes idle HOLDING its connection — with one
+    # thread per connection it must not block client 2's requests
+    c1 = socket.socket(socket.AF_UNIX)
+    c1.connect(sock_path)
+    f1in = c1.makefile("r", encoding="utf-8")
+    f1out = c1.makefile("w", encoding="utf-8")
+    f1out.write(json.dumps({"op": "ping"}) + "\n")
+    f1out.flush()
+    ping = json.loads(f1in.readline())
     assert ping["ok"] and ping["gallery"] == 3
+
+    # client 2 is served while client 1 idles connected
+    rank_r, stats_r = client([
+        {"op": "rank", "clips": str(tmp_path / "g.npz"), "topk": 2},
+        {"op": "stats"},
+    ])
     assert rank_r["ok"]
     # gallery clips rank themselves first
     assert [r["matches"][0]["gallery"] for r in rank_r["results"]] == [0, 1, 2]
+    assert stats_r["ok"] and stats_r["uptime_s"] >= 0
+    assert stats_r["ops"]["ping"]["n"] == 1
+    assert stats_r["ops"]["ping"]["errors"] == 0
+    assert set(stats_r["ops"]["ping"]) == {"n", "errors", "ms_mean", "ms_max"}
+    assert stats_r["ops"]["rank"]["n"] == 1
 
-    # client 2: shutdown stops the daemon
+    # client 3: shutdown stops the daemon; the idle client 1 gets EOF
     (bye,) = client([{"op": "shutdown"}])
     assert bye["ok"]
+    assert f1in.readline() == ""  # EOF delivered to the idle reader
+    c1.close()
     t.join(timeout=120)
-    assert not t.is_alive() and result["n"] == 3
+    assert not t.is_alive() and result["n"] == 4
     assert not osp.exists(sock_path)  # cleaned up
+
+    # TCP leg: same protocol over host:port (pre-probed free port — the
+    # daemon resolves port 0 itself but only reports it on stderr)
+    with socket.socket(socket.AF_INET) as probe:
+        probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+
+    def run_tcp_daemon():
+        result["tcp"] = serve(extract_parser().parse_args([
+            "serve", "--model", str(model),
+            "--listen", f"127.0.0.1:{port}",
+        ]))
+
+    t2 = threading.Thread(target=run_tcp_daemon)
+    t2.start()
+    deadline = time.time() + 120
+    resps = None
+    while resps is None:
+        assert time.time() < deadline and t2.is_alive()
+        try:
+            with socket.socket(socket.AF_INET) as c:
+                c.connect(("127.0.0.1", port))
+                fout = c.makefile("w", encoding="utf-8")
+                fin = c.makefile("r", encoding="utf-8")
+                for r in [{"op": "ping"}, {"op": "shutdown"}]:
+                    fout.write(json.dumps(r) + "\n")
+                    fout.flush()
+                resps = [json.loads(fin.readline()) for _ in range(2)]
+        except ConnectionRefusedError:
+            time.sleep(0.05)
+    assert resps[0]["ok"] and resps[0]["batch"] == 4
+    assert resps[1] == {"ok": True, "op": "shutdown", "ms": resps[1]["ms"]}
+    t2.join(timeout=120)
+    assert not t2.is_alive() and result["tcp"] == 2
+
+
+def test_extract_serve_sigterm_graceful(tmp_path):
+    """A SIGTERM to the serve daemon (socket mode, blocked in accept())
+    must shut it down cleanly: exit code 0, the unix socket file
+    unlinked, the shutdown logged. This is the process-manager stop path
+    (systemd et al deliver TERM) — it has no stdin EOF and never sends a
+    polite {"op": "shutdown"}, so without the handler the daemon dies
+    mid-accept and leaves the socket file behind."""
+    import json
+    import os
+    import signal
+    import socket
+    import subprocess
+
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+
+    logs = tmp_path / "run"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+    model = tmp_path / "model.npz"
+    extract_main(extract_parser().parse_args([
+        "export-model", "--checkpoint", str(logs / "checkpoint.npz"),
+        "--tiny", "--num-classes", "4", "--batch", "4", "--seq_len", "2",
+        "--height", "64", "--width", "32", "-o", str(model),
+    ]))
+
+    sock_path = str(tmp_path / "serve.sock")
+    script = tmp_path / "daemon.py"
+    script.write_text(
+        "import sys\n"
+        "import jax\n"
+        # the axon plugin ignores JAX_PLATFORMS; force CPU pre-init
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from grl_tpu.cli.extract import build_parser, serve\n"
+        f"serve(build_parser().parse_args(['serve', '--model', {str(model)!r},"
+        f" '--listen', 'unix:{sock_path}']))\n"
+        "sys.exit(0)\n"
+    )
+    repo_root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo_root, env.get("PYTHONPATH", "")] if p)
+    proc = subprocess.Popen([sys.executable, str(script)], env=env,
+                            stderr=subprocess.PIPE, text=True)
+    try:
+        deadline = time.time() + 300
+        while not osp.exists(sock_path):
+            assert time.time() < deadline and proc.poll() is None
+            time.sleep(0.05)
+        # one served request proves the daemon is live before the signal
+        with socket.socket(socket.AF_UNIX) as c:
+            c.connect(sock_path)
+            c.sendall(b'{"op": "ping"}\n')
+            assert json.loads(c.makefile("r").readline())["ok"]
+        proc.send_signal(signal.SIGTERM)
+        stderr = proc.communicate(timeout=120)[1]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stderr
+    assert "caught signal 15" in stderr
+    assert not osp.exists(sock_path)  # unlinked on the signal path
 
 
 def test_extract_serve_rerank(tmp_path):
