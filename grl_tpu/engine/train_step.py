@@ -14,7 +14,12 @@ The frame and video OIM losses share one lookup table (the reference passes
 the same ``criterion_corr`` to both, trainer.py:126,138); lut updates are
 applied after the gradient in reverse forward order — video features first,
 then frame features — matching torch autograd's reverse-order backward
-execution of the two stateful OIM Functions.
+execution of the two stateful OIM Functions. That reverse order also
+COUPLES the gradients: the frame OIM's backward reads the shared buffer
+after the video OIM's backward mutated it, so the frame gradient flows
+through the post-video-update lut while its loss value used the original
+(see the value/grad split in grl_loss_fn — pinned against literal torch
+autograd in tests/test_reference_parity.py).
 
 Everything (forward, backward, optimizer, lut updates, BN state advance) is
 one jitted function of explicit state — under a device mesh the same
@@ -84,7 +89,8 @@ def init_train_state(rng, cnn, siamese, siamese_uncorr, num_classes, num_feat=20
 
 
 def grl_loss_fn(params, model_state, luts, clips, targets, *, cnn, siamese,
-                siamese_uncorr, oim_scalar=30.0, verif_weight=20.0):
+                siamese_uncorr, oim_scalar=30.0, oim_momentum=0.5,
+                verif_weight=20.0):
     """Returns (total_loss, aux) with aux carrying new model state, the
     features needed for lut updates, and scalar metrics."""
     b, t = clips.shape[0], clips.shape[1]
@@ -92,12 +98,6 @@ def grl_loss_fn(params, model_state, luts, clips, targets, *, cnn, siamese,
     (x_uncorr, x_corr), ns["cnn"] = cnn.apply(
         params["cnn"], model_state["cnn"], clips, training=True
     )
-
-    # (1) frame-level OIM on the correlated stream
-    frame_corr = x_corr.reshape(b * t, -1)
-    frame_targets = jnp.repeat(targets, t)
-    frame_logits = losses.oim_logits(frame_corr, luts["corr"], oim_scalar)
-    corr_id_loss_frame = losses.cross_entropy(frame_logits, frame_targets)
 
     # pair-interleaved verification targets (trainer.py:130-135)
     tar_probe = targets[0::2]
@@ -111,6 +111,32 @@ def grl_loss_fn(params, model_state, luts, clips, targets, *, cnn, siamese,
     vid_logits = losses.oim_logits(siamese_out, luts["corr"], oim_scalar)
     corr_id_loss_vid = losses.cross_entropy(vid_logits, target)
     corr_loss_tri = jnp.mean(_TRIPLET(siamese_out, target))
+
+    # (1) frame-level OIM on the correlated stream. The frame and video
+    # OIM share one lut (the reference passes the same criterion_corr to
+    # both, trainer.py:126,138) and torch's OIM mutates that buffer in
+    # BACKWARD: autograd runs the video node's backward first (reverse
+    # creation order), so by the time the frame node's backward computes
+    # grad = grad_logits @ lut, the buffer already carries the video
+    # momentum update. The loss VALUE, though, was computed in forward
+    # with the original lut. Reproduce both: value from luts["corr"],
+    # gradient through the post-video-update table (lut_mid is built from
+    # stop_gradient'd features — torch's buffer update is grad-opaque).
+    # Verified torch-vs-torch against the literal trainer's conv1 grad:
+    # this coupled form matches to 2.7e-5 rel; the uncoupled form (grad
+    # through the original lut) is off by 87% (tests/torch_oracle.py's
+    # recipe carries the same split).
+    frame_corr = x_corr.reshape(b * t, -1)
+    frame_targets = jnp.repeat(targets, t)
+    lut_mid = losses.update_lut(
+        luts["corr"], jax.lax.stop_gradient(siamese_out), target, oim_momentum
+    )
+    frame_logits = losses.oim_logits(frame_corr, luts["corr"], oim_scalar)
+    frame_logits_grad_path = losses.oim_logits(frame_corr, lut_mid, oim_scalar)
+    frame_logits = frame_logits_grad_path + jax.lax.stop_gradient(
+        frame_logits - frame_logits_grad_path
+    )
+    corr_id_loss_frame = losses.cross_entropy(frame_logits, frame_targets)
 
     # (3) verification BCE == 2-class cross-entropy of the raw scores
     # (stable log_softmax form; see losses.pair_loss_from_logits)
@@ -168,6 +194,7 @@ def make_train_step(cnn, siamese, siamese_uncorr, optimizer, *, oim_scalar=30.0,
         siamese=siamese,
         siamese_uncorr=siamese_uncorr,
         oim_scalar=oim_scalar,
+        oim_momentum=oim_momentum,
         verif_weight=verif_weight,
     )
 

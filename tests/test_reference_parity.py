@@ -284,6 +284,259 @@ def test_loss_recipe_matches_reference_seqtrainer(tmp_path):
     )
 
 
+def test_sgd_semantics_match_torch_optim_exactly():
+    """Drift-free multi-step parity of the optimizer ALONE against the
+    literal ``torch.optim.SGD`` construction (mars_train.py:94-108:
+    momentum 0.9, weight_decay 5e-4, nesterov, per-group lr_mult 1/2
+    applied via adjust_lr, mars_train.py:110-114): 6 steps on synthetic
+    params/gradients, params asserted to ~1e-6 each step. This isolates
+    the momentum-buffer + weight-decay + nesterov interaction from step 2
+    onward — the trajectory test below runs the same optimizer under the
+    full models where fp32 cross-framework drift amplified through the
+    random-weight conv backward dominates elementwise comparisons."""
+    from grl_tpu.engine.optim import SGD
+
+    rng = np.random.RandomState(3)
+    shapes = {"backbone": (7, 5), "head": (4,), "bn_scale": (6,)}
+    params = {k: rng.randn(*s).astype(np.float32) for k, s in shapes.items()}
+    mults = {"backbone": 1.0, "head": 2.0, "bn_scale": 2.0}
+
+    t_params = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+                for k, v in params.items()}
+    lr = 1e-2
+    optimizer = torch.optim.SGD(
+        [
+            {"params": [t_params["backbone"]], "lr_mult": 1},
+            {"params": [t_params["head"], t_params["bn_scale"]], "lr_mult": 2},
+        ],
+        lr=lr, momentum=0.9, weight_decay=5e-4, nesterov=True,
+    )
+    for g in optimizer.param_groups:  # adjust_lr epoch 0
+        g["lr"] = lr * g.get("lr_mult", 1)
+
+    opt = SGD()
+    j_params = {k: jax.numpy.asarray(v) for k, v in params.items()}
+    j_mults = {k: jax.numpy.float32(v) for k, v in mults.items()}
+    opt_state = opt.init(j_params)
+
+    for step in range(6):
+        grads = {k: rng.randn(*v.shape).astype(np.float32)
+                 for k, v in params.items()}
+        optimizer.zero_grad()
+        for k in t_params:
+            t_params[k].grad = torch.from_numpy(grads[k].copy())
+        optimizer.step()
+        j_grads = {k: jax.numpy.asarray(v) for k, v in grads.items()}
+        j_params, opt_state = opt.update(j_params, j_grads, opt_state, lr, j_mults)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(j_params[k]), t_params[k].detach().numpy(),
+                rtol=1e-5, atol=1e-6, err_msg=f"{k} after step {step}",
+            )
+
+
+@pytest.mark.slow
+def test_optimizer_trajectory_matches_reference_sgd(tmp_path):
+    """Multi-step training-trajectory parity against the literal reference
+    optimizer: the EXACT torch.optim.SGD construction from
+    mars_train.py:94-108 (4 param groups, backbone lr_mult 1 / new modules
+    lr_mult 2, momentum 0.9, wd 5e-4, nesterov) with adjust_lr
+    (mars_train.py:110-114) applied, driving the literal SEQTrainer
+    zero_grad/backward/step loop (trainer.py:53-55) for 3 steps on fixed
+    batches — vs grl_tpu's jitted make_train_step on the same batches.
+
+    Pinned at every step: total loss, ALL trainable params of all three
+    modules (i.e. the momentum-buffer + weight-decay interaction from step
+    2 onward, which tests/test_train_step.py only covers with a first-step
+    closed form), every BN running-stat trajectory, and both OIM luts.
+
+    Design: TEACHER-FORCED (per-step resync). A random-init full-size GRL
+    is chaotically stiff — conv1 gradients measure ~7e3, so a single SGD
+    step moves weights by multiples of their own scale and the benign
+    ~3% fp32 cross-framework backward drift (measured; the same drift is
+    2.7e-5 torch-vs-torch) amplifies into O(1) loss divergence one step
+    later. Free-running elementwise comparison is therefore meaningless
+    past step 0. Instead, after comparing each step's outputs, the torch
+    side is resynchronized FROM the jax state — params, BN stats, luts,
+    and the SGD momentum buffers (converted through the same
+    pytree_to_torch_state path) — so every step k>=1 is a fresh one-step
+    comparison from identical state with REAL accumulated momentum
+    buffers, never the first-step closed form. Parity per step: loss to
+    ~3e-4 rel, per-leaf update vectors to 12%-of-update norm (vs ~100%
+    deviations for any semantic optimizer error), luts to 5e-4. The
+    drift-free exact recursion (6 steps, ~1e-6) is pinned separately by
+    test_sgd_semantics_match_torch_optim_exactly above.
+
+    Documented divergence (train_step.py module docstring): params the
+    loss never reaches keep grad=None in torch and are skipped by its SGD
+    entirely (no wd either), while grl_tpu gives them zero grad + uniform
+    wd. The skip set is asserted to be exactly those params (Siamese.featV*
+    and the Siamese_video verification classifier, whose scores feed only
+    the excluded uncorr_loss_ver, trainer.py:162,166)."""
+    from reference_loader import load_reference_training
+
+    from grl_tpu.engine.optim import SGD
+    from grl_tpu.engine.train_step import init_train_state, make_train_step
+
+    ref = load_reference_models()
+    tr = load_reference_training()
+
+    num_classes = 6
+    cnn_ref = ref.grl_model.ResNet50_GRL_Model(pretrained=False, numclasses=0).train()
+    sia_ref = ref.Siamese.Siamese(2048, 512, 2).train()
+    unc_ref = ref.Siamese_video.Siamese_video(2048, 2048, 2).train()
+
+    cnn = models.GRLModel()
+    sia = models.Siamese(input_num=2048, output_num=512, class_num=2)
+    unc = models.SiameseVideo(input_num=2048)
+    opt = SGD()
+    ts = init_train_state(jax.random.PRNGKey(0), cnn, sia, unc, num_classes, 2048, opt)
+
+    load_into_torch(cnn_ref, ts["params"]["cnn"], ts["model_state"]["cnn"],
+                    aliases=ct.GRL_ALIASES)
+    load_into_torch(sia_ref, ts["params"]["siamese"], ts["model_state"]["siamese"])
+    load_into_torch(unc_ref, ts["params"]["siamese_uncorr"],
+                    ts["model_state"]["siamese_uncorr"])
+
+    lut_rng = np.random.RandomState(7)
+    for name in ("corr", "uncorr"):
+        lut = lut_rng.randn(num_classes, 2048).astype(np.float32)
+        lut /= np.linalg.norm(lut, axis=1, keepdims=True)
+        ts["luts"][name] = jax.numpy.asarray(lut)
+
+    crit_corr = tr.loss.OIMLoss(2048, num_classes, scalar=30.0, momentum=0.5)
+    crit_uncorr = tr.loss.OIMLoss(2048, num_classes, scalar=30.0, momentum=0.5)
+    with torch.no_grad():
+        crit_corr.lut.copy_(torch.from_numpy(np.asarray(ts["luts"]["corr"])))
+        crit_uncorr.lut.copy_(torch.from_numpy(np.asarray(ts["luts"]["uncorr"])))
+    trainer = tr.trainer.SEQTrainer(
+        cnn_ref, sia_ref, unc_ref, tr.loss.PairLoss(), crit_corr, crit_uncorr,
+        str(tmp_path)
+    )
+
+    # literal optimizer construction (mars_train.py:94-108, sans DataParallel)
+    base_param_ids = set(map(id, cnn_ref.backbone.parameters()))
+    new_params = [p for p in cnn_ref.parameters() if id(p) not in base_param_ids]
+    param_groups = [
+        {"params": cnn_ref.backbone.parameters(), "lr_mult": 1},
+        {"params": new_params, "lr_mult": 2},
+        {"params": sia_ref.parameters(), "lr_mult": 2},
+        {"params": unc_ref.parameters(), "lr_mult": 2},
+    ]
+    lr = 1e-7
+    optimizer = torch.optim.SGD(
+        param_groups, lr=lr, momentum=0.9, weight_decay=5e-4, nesterov=True
+    )
+    for g in optimizer.param_groups:  # adjust_lr(0), mars_train.py:110-114
+        g["lr"] = lr * g.get("lr_mult", 1)
+
+    step = make_train_step(cnn, sia, unc, opt, donate=False)
+
+    mods = (("cnn", cnn_ref, ct.GRL_ALIASES), ("siamese", sia_ref, None),
+            ("siamese_uncorr", unc_ref, None))
+
+    def module_delta_matches(mod, m_ref, aliases, pre, skip, rel, msg):
+        """Per-leaf update-vector parity: ||(ours-pre) - (torch-pre)|| must
+        stay within rel of the torch update's norm (+ a noise floor for
+        near-zero-gradient leaves). A wrong momentum/wd/nesterov/lr_mult
+        produces O(1)-relative deviations; fp32 backward drift measures
+        a few percent."""
+        sd = m_ref.state_dict()
+        keys = [k for k in sd
+                if not k.endswith("num_batches_tracked") and k not in skip]
+        flat = ct.pytree_to_torch_state(
+            np_tree(ts["params"][mod]), np_tree(ts["model_state"][mod]),
+            keys, aliases=aliases
+        )
+        for k in keys:
+            d_t = sd[k].numpy().astype(np.float64) - pre[k]
+            d_o = flat[k].astype(np.float64) - pre[k]
+            err = float(np.linalg.norm(d_o - d_t))
+            lim = rel * float(np.linalg.norm(d_t)) + 1e-4
+            assert err <= lim, (
+                f"{msg}: {k} update diff {err:.3e} > {lim:.3e} "
+                f"(||torch update||={np.linalg.norm(d_t):.3e})"
+            )
+
+    def resync_torch_from_jax(skip):
+        """Teacher-force the torch side onto the jax post-step state:
+        params + BN stats (strict state_dict load), OIM luts, and the SGD
+        momentum buffers (the optax trace mirrors the params structure, so
+        the same jax->torch converter emits them in torch layout)."""
+        for mod, m_ref, aliases in mods:
+            load_into_torch(m_ref, ts["params"][mod], ts["model_state"][mod],
+                            aliases=aliases)
+        with torch.no_grad():
+            crit_corr.lut.copy_(torch.from_numpy(np.asarray(ts["luts"]["corr"])))
+            crit_uncorr.lut.copy_(torch.from_numpy(np.asarray(ts["luts"]["uncorr"])))
+        trace = next(s for s in ts["opt"] if hasattr(s, "trace")).trace
+        for mod, m_ref, aliases in mods:
+            named = dict(m_ref.named_parameters())
+            keys = [n for n in named if n not in skip[mod]]
+            bufs = ct.pytree_to_torch_state(
+                np_tree(trace[mod]), np_tree(ts["model_state"][mod]), keys,
+                aliases=aliases
+            )
+            for n in keys:
+                # np views of jax CPU arrays alias the device buffer, which
+                # jax reuses on the next dispatch — copy, or the torch
+                # buffer silently turns to garbage mid-test (this happened)
+                optimizer.state[named[n]]["momentum_buffer"] = torch.from_numpy(
+                    np.array(bufs[n], copy=True)
+                )
+
+    rng = np.random.RandomState(11)
+    skip = None
+    for k in range(3):
+        clips = rng.rand(4, 2, 256, 128, 3).astype(np.float32) * 2 - 1
+        pids = np.array([0, 0, 1, 1], np.int32)  # interleaved pairs, dup ids
+        t_clips = torch.from_numpy(np.transpose(clips, (0, 1, 4, 2, 3)).copy())
+        t_pids = torch.from_numpy(pids.astype(np.int64))
+
+        pre = {mod: {kk: v.numpy().astype(np.float64).copy()
+                     for kk, v in m.state_dict().items()}
+               for mod, m, _ in mods}
+
+        all_loss, _, _, _ = trainer._forward([t_clips], t_pids, k, 0)
+        optimizer.zero_grad()
+        all_loss.backward()
+        if skip is None:
+            skip = {
+                mod: {n for n, p in m.named_parameters() if p.grad is None}
+                for mod, m, _ in mods
+            }
+            assert skip["cnn"] == set()
+            assert skip["siamese"] == {
+                "featV.weight", "featV.bias", "featV_bn.weight", "featV_bn.bias"
+            }
+            assert skip["siamese_uncorr"] == {
+                "classifierBN.weight", "classifierBN.bias",
+                "classifierlinear.weight", "classifierlinear.bias",
+            }
+        optimizer.step()
+
+        ts, metrics = step(ts, jax.numpy.asarray(clips), jax.numpy.asarray(pids),
+                           jax.numpy.float32(lr))
+
+        # resynced each step => per-step drift only, no chaotic compounding.
+        # (forward drift at the post-step point measures ~1e-3 rel on the
+        # 30x-scaled CE losses; step 0 from the pristine init is 4e-5)
+        assert float(metrics["loss"]) == pytest.approx(
+            float(all_loss), rel=3e-4 if k == 0 else 3e-3)
+        for mod, m_ref, aliases in mods:
+            module_delta_matches(
+                mod, m_ref, aliases, pre[mod], skip[mod], 0.12,
+                f"{mod} after step {k}"
+            )
+        for name, crit in (("corr", crit_corr), ("uncorr", crit_uncorr)):
+            np.testing.assert_allclose(
+                np.asarray(ts["luts"][name]), crit.lut.numpy(), atol=5e-4,
+                err_msg=f"lut {name} after step {k}"
+            )
+
+        resync_torch_from_jax(skip)
+
+
 @pytest.mark.slow
 def test_eval_descriptor_matches_reference_recipe():
     """The 6144-d descriptor construction (reference attevaluator.py:77-80:

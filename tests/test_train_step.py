@@ -54,15 +54,28 @@ def torch_total_loss(cnn, tp, ts, clips_t, targets, luts):
 
     xu, xc = oracle.grl_model(cnn, tp["cnn"], ts["cnn"], clips_t, True)
 
-    frame = xc.reshape(b * t, -1)
-    frame_y = y.repeat_interleave(t)
-    frame_logits = 30.0 * frame @ torch.from_numpy(luts["corr"]).t()
-    loss_frame = F.cross_entropy(frame_logits, frame_y)
-
     tar_probe, tar_gallery = y[0::2], y[1::2]
     target = torch.cat([tar_probe, tar_gallery])
 
     scores, pooled = oracle.siamese(tp["siamese"], ts["siamese"], xc, True)
+
+    # frame OIM with the torch-backward gradient coupling: the frame and
+    # video OIM share one lut and torch's OIM mutates it in BACKWARD, with
+    # the video node (created later) running first — so the frame VALUE
+    # uses the original lut while the frame GRADIENT flows through the
+    # post-video-update table (train_step.py grl_loss_fn; proven against
+    # the literal trainer's conv1 grad: coupled rel 2.7e-5, uncoupled 87%)
+    frame = xc.reshape(b * t, -1)
+    frame_y = y.repeat_interleave(t)
+    lut0 = torch.from_numpy(luts["corr"])
+    lut_mid = lut0.clone()
+    for x, yy in zip(pooled.detach(), target):
+        row = 0.5 * lut_mid[yy] + 0.5 * x
+        lut_mid[yy] = row / row.norm()
+    value = 30.0 * frame @ lut0.t()
+    gpath = 30.0 * frame @ lut_mid.t()
+    frame_logits = gpath + (value - gpath).detach()
+    loss_frame = F.cross_entropy(frame_logits, frame_y)
     vid_logits = 30.0 * pooled @ torch.from_numpy(luts["corr"]).t()
     loss_vid = F.cross_entropy(vid_logits, target)
 
