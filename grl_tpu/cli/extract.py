@@ -33,6 +33,14 @@ import os.path as osp
 
 import numpy as np
 
+# serve's rerank routes through the one-jit capacity-padded builder up to
+# this many total items (padded queries + capacity + enrollment block);
+# past it, the staged memory-lean builder (engine/rerank.py) takes over —
+# the one-jit program holds ~6 n^2 fp32 buffers live (26 GB at n=33k vs
+# ~11-15.75 GB HBM), the staged one frees each stage's temporaries.
+# Module-level so tests can shrink it to drive the staged route at toy n.
+_RERANK_ONEJIT_MAX = 16384
+
 
 def extract_split(args):
     import jax
@@ -385,6 +393,7 @@ def serve(args, inp=None, out=None):
     call, meta, raw_call = _load_artifact(args.model)
     idx = rank_topk = None
     rerank_unavailable, q_pad = "rank needs serve --gallery or --capacity", 0
+    rr_staged = False
     ADD_BLOCK = 256  # fixed enrollment granularity: one compiled update
     if args.gallery or args.capacity:
         if args.topk < 1:
@@ -428,14 +437,11 @@ def serve(args, inp=None, out=None):
             raise SystemExit("serve --rerank-queries must be >= 1")
         q_pad = meta["batch"] * -(-args.rerank_queries // meta["batch"])
         rerank_unavailable = None
-        if q_pad + buf.shape[0] > 16384:
-            rerank_unavailable = (
-                f"rerank is unavailable: padded size {q_pad + buf.shape[0]} "
-                "(--rerank-queries rounded to the artifact batch + "
-                "--capacity + the enrollment block) exceeds the one-jit "
-                "builder's 16384 limit — use 'extract rank --rerank' "
-                "(staged builder) or a smaller --capacity"
-            )
+        # past the one-jit padded builder's scale (it holds ~6 n^2 fp32
+        # buffers live), rerank routes through the staged memory-lean
+        # builder with the same capacity-padding convention — still
+        # compile-once at the padded geometry, valid counts traced
+        rr_staged = q_pad + buf.shape[0] > _RERANK_ONEJIT_MAX
 
         # gallery rides as an argument (a closed-over array would be baked
         # into the program as a constant); scores are the same negative-
@@ -535,18 +541,50 @@ def serve(args, inp=None, out=None):
             for j, s in zip(order_row[:topk], scores_row[:topk])
         ]
 
+    def rerank_dist(qf, n_q):
+        """(q_pad, dim) padded query features -> (q_pad, G) re-ranked
+        distances; rows past n_q / columns past idx["n"] are garbage.
+        Routes by geometry: the one-jit padded builder below
+        _RERANK_ONEJIT_MAX total items, the staged memory-lean builder
+        (identical capacity-padding convention, valid counts traced)
+        above it. Either way every program compiles once at the padded
+        geometry — enrollment and varying request sizes never recompile."""
+        from ..engine.evaluator import _euclidean, cosine_distance
+
+        n = idx["n"]
+        if rr_staged:
+            from ..engine.rerank import re_ranking_device
+
+            # gg is NOT cached on this path: the staged stages need the
+            # distance matrices to FREE after s1 (a resident gg copy
+            # would pin an extra n^2 fp32 buffer across every stage —
+            # 4.4 GB at n=33k); recomputing it is one MXU matmul.
+            box = [cosine_distance(qf, idx["gf"]), _euclidean(qf, qf),
+                   _euclidean(idx["gf"], idx["gf"])]
+            qf = None
+            return re_ranking_device(
+                inputs_box=box, valid=(n_q, n), interpret=rr_interpret
+            )
+        from ..engine.rerank import re_ranking_device_padded
+
+        # the gallery-gallery euclidean matrix only changes on enrollment;
+        # cache it device-resident per valid count
+        if idx.get("gg_n") != n:
+            idx["gg"] = _euclidean(idx["gf"], idx["gf"])
+            idx["gg_n"] = n
+        return re_ranking_device_padded(
+            cosine_distance(qf, idx["gf"]), _euclidean(qf, qf), idx["gg"],
+            n_q, n, interpret=rr_interpret,
+        )
+
     def rank_reranked(clips, topk):
         """k-reciprocal re-ranked retrieval (the `rank --rerank` math)
         against the resident index, compiled ONCE: queries are padded to
-        the fixed --rerank-queries width and the masked builder
-        (engine/rerank.py::re_ranking_device_padded) takes the valid
-        counts as traced scalars, so neither enrollment nor varying
-        request sizes recompile the n^2 set-algebra program. Scores are
+        the fixed --rerank-queries width and the masked builders take the
+        valid counts as traced scalars, so neither enrollment nor varying
+        request sizes recompile the n^2 set-algebra programs. Scores are
         -distance on the blended Jaccard/original scale — ordinal only,
         not comparable to plain rank similarities."""
-        from ..engine.evaluator import _euclidean, cosine_distance
-        from ..engine.rerank import re_ranking_device_padded
-
         n = idx["n"]
         n_q = clips.shape[0]
         if n_q + n < 21:  # k1 + 1: below this the padded top-k clamps
@@ -566,17 +604,7 @@ def serve(args, inp=None, out=None):
         ).astype(np.float32)
         qf = np.zeros((q_pad, feats.shape[1]), np.float32)
         qf[:n_q] = feats
-        qf = jnp.asarray(qf)
-        # the gallery-gallery euclidean matrix only changes on enrollment;
-        # cache it device-resident per valid count
-        if idx.get("gg_n") != n:
-            idx["gg"] = _euclidean(idx["gf"], idx["gf"])
-            idx["gg_n"] = n
-        dist = re_ranking_device_padded(
-            cosine_distance(qf, idx["gf"]), _euclidean(qf, qf), idx["gg"],
-            n_q, n,
-            interpret=rr_interpret,
-        )
+        dist = rerank_dist(jnp.asarray(qf), n_q)
         scores, order = rerank_topk(dist, np.int32(n))
         scores = np.asarray(scores)[:n_q]
         order = np.asarray(order)[:n_q]
@@ -610,6 +638,9 @@ def serve(args, inp=None, out=None):
                 "rerank": bool(idx is not None and not rerank_unavailable),
                 "rerank_queries": q_pad if (
                     idx is not None and not rerank_unavailable) else 0,
+                # which builder answers rerank requests (observability:
+                # staged trades warm latency for n^2-stage memory headroom)
+                "rerank_staged": bool(idx is not None and rr_staged),
             }
         if op == "stats":
             # monitoring surface: per-op counters + latency aggregates
@@ -702,17 +733,8 @@ def serve(args, inp=None, out=None):
                 np.int32(idx["n"]),
             )
             if not rerank_unavailable:
-                from ..engine.evaluator import _euclidean, cosine_distance
-                from ..engine.rerank import re_ranking_device_padded
-
-                if idx.get("gg_n") != idx["n"]:
-                    idx["gg"] = _euclidean(idx["gf"], idx["gf"])
-                    idx["gg_n"] = idx["n"]
                 qf0 = jnp.zeros((q_pad, meta["dim"]), jnp.float32)
-                d = re_ranking_device_padded(
-                    cosine_distance(qf0, idx["gf"]), _euclidean(qf0, qf0),
-                    idx["gg"], 1, n1, interpret=rr_interpret,
-                )
+                d = rerank_dist(qf0, 1)
                 float(rerank_topk(d, n1)[0][0, 0])
         print(f"warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -762,7 +784,16 @@ def serve(args, inp=None, out=None):
                 pass
 
     def _graceful(signum, _frame):
-        _stop_everything(f"caught signal {signum}")
+        # The handler frame may be interrupting a holder of lifecycle
+        # ["lock"] (accept loop, stats update) — taking the non-reentrant
+        # lock here would deadlock, and print() to buffered stderr can
+        # raise a reentrant-call RuntimeError. Set the flag (lock-free,
+        # loops poll it) and delegate the socket teardown to a thread.
+        lifecycle["stop"] = True
+        threading.Thread(
+            target=_stop_everything, args=(f"caught signal {signum}",),
+            daemon=True,
+        ).start()
 
     prev_handlers = {}
     try:
@@ -779,12 +810,15 @@ def serve(args, inp=None, out=None):
             if not line:
                 continue
             t0 = time.perf_counter()
+            req = None
             try:
                 req = json.loads(line)
                 with lifecycle["handle"]:  # one device, one request at a time
                     resp = handle(req)
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                if isinstance(req, dict):  # attribute the error to its op
+                    resp["op"] = req.get("op")
             resp["ms"] = round((time.perf_counter() - t0) * 1e3, 2)
             with lifecycle["lock"]:
                 s = stats.setdefault(resp.get("op") or "invalid",
@@ -794,10 +828,21 @@ def serve(args, inp=None, out=None):
                 s["errors"] += 0 if resp.get("ok") else 1
                 s["ms_total"] += resp["ms"]
                 s["ms_max"] = max(s["ms_max"], resp["ms"])
-            fout.write(json.dumps(resp) + "\n")
-            fout.flush()
-            served += 1
-            if resp.get("op") == "shutdown" or lifecycle["stop"]:
+            # decide BEFORE the reply write: a client that disconnects
+            # without reading its shutdown response must still stop the
+            # daemon (the BrokenPipeError would otherwise discard it)
+            stopping = (
+                (resp.get("op") == "shutdown" and resp.get("ok"))
+                or lifecycle["stop"]
+            )
+            try:
+                fout.write(json.dumps(resp) + "\n")
+                fout.flush()
+                served += 1
+            except OSError:
+                if not stopping:
+                    raise  # client vanished mid-reply; conversation logs it
+            if stopping:
                 return served, True
         return served, False
 
@@ -872,6 +917,9 @@ def serve(args, inp=None, out=None):
                 t = threading.Thread(target=conversation, args=(conn,),
                                      daemon=True)
                 t.start()
+                # reap finished conversations so a long-lived daemon's
+                # thread list doesn't grow with every connect/disconnect
+                threads[:] = [x for x in threads if x.is_alive()]
                 threads.append(t)
             for t in threads:  # in-flight requests finish; readers got EOF
                 t.join()

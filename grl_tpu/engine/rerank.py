@@ -45,7 +45,7 @@ def warn_if_degenerate(n_total, k1=20, k2=6):
 
 def re_ranking_device(
     q_g_dist=None, q_q_dist=None, g_g_dist=None, k1=20, k2=6, lambda_value=0.3,
-    interpret=False, mesh=None, staged=None, inputs_box=None,
+    interpret=False, mesh=None, staged=None, inputs_box=None, valid=None,
 ):
     """k-reciprocal re-ranking on the TPU.
 
@@ -74,6 +74,14 @@ def re_ranking_device(
     once EVERY python frame drops its references. A caller that passes
     them positionally keeps them alive in its own frame for the whole
     call; boxing is how it actually relinquishes them.
+
+    ``valid``: optional ``(nq, ng)`` valid counts for CAPACITY-PADDED
+    inputs (the serve daemon's growing index past the one-jit padded
+    builder's scale). Forces the staged builder; the stage programs
+    compile once at the padded geometry and the counts ride as traced
+    scalars, so enrollment never recompiles. Output rows past nq /
+    columns past ng are garbage — callers mask/slice. Requires
+    ``nq + ng >= k1 + 1`` (same clamp caveat as re_ranking_device_padded).
     """
     import jax.numpy as jnp
 
@@ -85,6 +93,8 @@ def re_ranking_device(
     query_num = q_g_dist.shape[0]
     gallery_num = g_g_dist.shape[0]
     n_total = query_num + gallery_num
+    if valid is not None:
+        staged = True  # the masked s1 only exists in the staged builder
     if staged is None:
         staged = n_total > 16384
     if staged:
@@ -124,10 +134,12 @@ def re_ranking_device(
         defer = mesh is None and n_total > _MINPLUS_CHUNK
         if defer:
             v, original_q, qexpand_idx = _build_v_staged(
-                box, k1=k1, k2=k2, mesh=mesh, defer_qexpand=True
+                box, k1=k1, k2=k2, mesh=mesh, defer_qexpand=True, valid=valid
             )
         else:
-            v, original_q = _build_v_staged(box, k1=k1, k2=k2, mesh=mesh)
+            v, original_q = _build_v_staged(
+                box, k1=k1, k2=k2, mesh=mesh, valid=valid
+            )
             qexpand_idx = None
     else:
         defer = False
@@ -216,7 +228,7 @@ _BUILD_V_CACHE = {}
 _MINPLUS_CHUNK = 8192
 
 
-def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False):
+def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False, valid=None):
     """Memory-lean membership-weight builder for galleries too large for
     the single-jit version: the program is split into stages so XLA frees
     each stage's n^2 temporaries before the next allocates, s1 assembles
@@ -258,6 +270,12 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False):
     idx_2)`` so the caller can expand rows lazily (``_qexpand_rows``)
     inside its min-plus slab loop; ``idx_2`` is None when ``k2 == 1``
     (no expansion — use v rows directly).
+
+    ``valid``: optional ``(nq, ng)`` traced valid counts for CAPACITY-
+    PADDED inputs (the serve daemon's compile-once geometry) — s1 then
+    applies the padded one-jit builder's masking convention; rows/columns
+    past the valid counts are garbage in every output and callers must
+    mask/slice. Callers must also guarantee ``nq + ng >= k1 + 1``.
     """
     import jax
     import jax.numpy as jnp
@@ -278,11 +296,13 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False):
     # Bounded LRU: a session whose gallery size changes would otherwise
     # accumulate six n^2-scale compiled programs per distinct size and pin
     # each Mesh object alive; periodic eval at fixed n only needs one entry.
-    key = (n0, n_pad, mesh)
+    key = (n0, n_pad, mesh, valid is not None)
     if key in _STAGED_CACHE:
         _STAGED_CACHE[key] = _STAGED_CACHE.pop(key)  # mark most-recent
     else:
-        _STAGED_CACHE[key] = _make_staged_stages(n0, n_pad, mesh)
+        _STAGED_CACHE[key] = _make_staged_stages(
+            n0, n_pad, mesh, masked=valid is not None
+        )
         while len(_STAGED_CACHE) > _STAGED_CACHE_MAX:
             _STAGED_CACHE.pop(next(iter(_STAGED_CACHE)))
     st = _STAGED_CACHE[key]
@@ -310,7 +330,12 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False):
     # s1 produces the NEGATED normalized matrix (see _make_staged_stages):
     # top-k then selects largest-of-neg (= smallest distance) with no full
     # n^2 negation temp, and s4's exp(-original) is exp(neg) directly.
-    neg = sync(st["s1_original"](q_g, q_q, g_g))
+    if valid is not None:
+        neg = sync(st["s1_original"](
+            q_g, q_q, g_g, jnp.int32(valid[0]), jnp.int32(valid[1])
+        ))
+    else:
+        neg = sync(st["s1_original"](q_g, q_q, g_g))
     del q_g, q_q, g_g  # last references anywhere (boxed) -> buffers free
     half = int(np.around(k1 / 2.0)) + 1
     idx_k1 = sync(st["s2_topk"](neg, k=k1 + 1))
@@ -369,9 +394,17 @@ _STAGED_CACHE_MAX = 2
 _STAGE_BLOCK = 4096
 
 
-def _make_staged_stages(n0, n_pad, mesh):
+def _make_staged_stages(n0, n_pad, mesh, masked=False):
     """Build the six jitted stage programs for :func:`_build_v_staged`,
-    closed over the padding geometry and mesh sharding."""
+    closed over the padding geometry and mesh sharding.
+
+    With ``masked``, s1 additionally takes traced valid counts ``(nq,
+    ng)`` and applies :func:`_make_padded_rerank`'s capacity-padding
+    convention (serve daemon indexes grow through ONE compiled shape):
+    invalid entries never enter the column-max normalization and sit at
+    the negated value -2.0 (strictly below the normalized minimum -1.0)
+    with self-distance 0 — identical pad semantics to the one-jit padded
+    builder, so the s2..s5 set algebra needs no masking of its own."""
     import functools
 
     import jax
@@ -448,6 +481,68 @@ def _make_staged_stages(n0, n_pad, mesh):
             return jax.lax.dynamic_update_slice(out, -blk / scale[:, None], (q + start, 0))
 
         return jax.lax.fori_loop(0, -(-g // r), body, out)
+
+    # capacity-padded serving variant: same block-wise assembly, but the
+    # valid counts ride as traced scalars. Invalid entries are excluded
+    # from the column maxes (masked squares contribute 0; every valid
+    # column keeps a nonneg max, guarded at 1e-30) and land at -2.0 with
+    # a zero diagonal — exactly _make_padded_rerank's convention, proven
+    # against the host oracle with adversarial pad garbage. NaN/inf
+    # garbage cannot propagate: jnp.where discards the unselected branch.
+    @functools.partial(jax.jit, **shard_kw)
+    def s1_original_masked(q_g, q_q, g_g, nq, ng):
+        q = q_q.shape[0]
+        g = g_g.shape[0]
+        vq = jnp.arange(q) < nq
+        vg = jnp.arange(g) < ng
+        valid = jnp.concatenate([vq, vg])
+        sq_qq = jnp.where(vq[:, None] & vq[None, :],
+                          jnp.square(q_q).astype(jnp.float32), 0.0)
+        sq_qg = jnp.where(vq[:, None] & vg[None, :],
+                          jnp.square(q_g).astype(jnp.float32), 0.0)
+        sq_gg_colmax = jnp.max(
+            jnp.where(vg[:, None] & vg[None, :],
+                      jnp.square(g_g).astype(jnp.float32), 0.0),
+            axis=0,
+        )
+        mx = jnp.concatenate(
+            [
+                jnp.maximum(jnp.max(sq_qq, axis=0), jnp.max(sq_qg, axis=1)),
+                jnp.maximum(jnp.max(sq_qg, axis=0), sq_gg_colmax),
+            ]
+        )
+        mx = jnp.maximum(mx, 1e-30)
+
+        out = jnp.full((n_pad, n_pad), -2.0, jnp.float32)
+        out_q = -jnp.concatenate([sq_qq.T, sq_qg], axis=1) / mx[:q, None]
+        out_q = jnp.where(vq[:, None] & valid[None, :], out_q, -2.0)
+        out = jax.lax.dynamic_update_slice(out, out_q, (0, 0))
+
+        r = min(_STAGE_BLOCK, g)
+
+        def body(bi, out):
+            start = jnp.minimum(bi * r, g - r)
+            qg_cols = jax.lax.dynamic_slice(q_g, (0, start), (q, r))
+            gg_cols = jax.lax.dynamic_slice(g_g, (0, start), (g, r))
+            blk = jnp.concatenate(
+                [
+                    jnp.square(qg_cols).astype(jnp.float32).T,
+                    jnp.square(gg_cols).astype(jnp.float32).T,
+                ],
+                axis=1,
+            )
+            scale = jax.lax.dynamic_slice(mx, (q + start,), (r,))
+            rowv = jax.lax.dynamic_slice(vg, (start,), (r,))
+            val = jnp.where(rowv[:, None] & valid[None, :],
+                            -blk / scale[:, None], -2.0)
+            return jax.lax.dynamic_update_slice(out, val, (q + start, 0))
+
+        out = jax.lax.fori_loop(0, -(-g // r), body, out)
+        # zero diagonal: valid entries are 0 already (zero-diagonal
+        # distance inputs); pad items need it so their reciprocal sets
+        # are self-only
+        diag = jnp.arange(n_pad)
+        return out.at[diag, diag].set(0.0)
 
     @functools.partial(jax.jit, static_argnames=("k",), **shard_kw)
     def s2_topk(neg, k):
@@ -569,7 +664,7 @@ def _make_staged_stages(n0, n_pad, mesh):
         return jax.lax.fori_loop(0, -(-n // r), body, jnp.zeros_like(v))
 
     return {
-        "s1_original": s1_original,
+        "s1_original": s1_original_masked if masked else s1_original,
         "s2_topk": s2_topk,
         "s3a_reciprocal": s3a_reciprocal,
         "s3b_expansion": s3b_expansion,

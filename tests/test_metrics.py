@@ -403,6 +403,61 @@ def test_padded_rerank_matches_host_on_valid_slices():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_staged_padded_rerank_matches_host_on_valid_slices():
+    """re_ranking_device(valid=(nq, ng)) — the serve daemon's rerank route
+    past the one-jit builder's scale — must equal the host re_ranking of
+    the unpadded inputs on the valid slices, with adversarial garbage in
+    the padding, under the same geometries as the one-jit padded test
+    plus growth through ONE padded shape (the staged stage programs are
+    cached per geometry; valid counts are traced scalars)."""
+    import jax.numpy as jnp
+
+    from grl_tpu.engine import rerank as R
+
+    rng = np.random.RandomState(13)
+
+    def dists(nq, ng):
+        feats = rng.randn(nq + ng, 8).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        d = np.sqrt(np.maximum(2 - 2 * (feats @ feats.T), 1e-12)).astype(np.float32)
+        np.fill_diagonal(d, 0.0)
+        return d[:nq, nq:], d[:nq, :nq], d[nq:, nq:]
+
+    def pad_garbage(m, rows, cols):
+        out = np.empty((rows, cols), np.float32)
+        out[:] = rng.choice([1e6, -5.0, 3e-8, 0.0], size=(rows, cols))
+        out[: m.shape[0], : m.shape[1]] = m
+        return out
+
+    for (nq, ng, Q, G), k2 in [
+        ((6, 30, 8, 48), 3),   # both axes padded
+        ((8, 30, 8, 48), 3),   # query axis full
+        ((6, 48, 8, 48), 3),   # gallery axis full
+        ((6, 30, 8, 48), 1),   # no query expansion
+    ]:
+        qg, qq, gg = dists(nq, ng)
+        want = re_ranking(qg, qq, gg, k1=5, k2=k2, lambda_value=0.3)
+        got = np.asarray(R.re_ranking_device(
+            jnp.asarray(pad_garbage(qg, Q, G)),
+            jnp.asarray(pad_garbage(qq, Q, Q)),
+            jnp.asarray(pad_garbage(gg, G, G)),
+            k1=5, k2=k2, lambda_value=0.3, interpret=True, valid=(nq, ng),
+        ))[:nq, :ng]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # growth through one padded shape: a larger valid count hits the SAME
+    # cached stage programs (traced scalars, no retrace) and stays correct
+    qg, qq, gg = dists(7, 40)
+    want = re_ranking(qg, qq, gg, k1=5, k2=3, lambda_value=0.3)
+    got = np.asarray(R.re_ranking_device(
+        jnp.asarray(pad_garbage(qg, 8, 48)),
+        jnp.asarray(pad_garbage(qq, 8, 8)),
+        jnp.asarray(pad_garbage(gg, 48, 48)),
+        k1=5, k2=3, lambda_value=0.3, interpret=True, valid=(7, 40),
+    ))[:7, :40]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_re_ranking_matches_oracle():
     rng = np.random.RandomState(11)
     feats = rng.randn(18, 8).astype(np.float32)
