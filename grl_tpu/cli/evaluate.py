@@ -67,6 +67,42 @@ def main(args):
         multihost = {"query": eval_catalog_meta(dataset.query),
                      "gallery": eval_catalog_meta(dataset.gallery)}
 
+    if args.visual_from:
+        # round-trip of --save-distmat: re-render ranked strips and re-run
+        # the protocol from a saved distance matrix WITHOUT re-extracting
+        # features (the reference's --visual loads a dist.mat nothing in
+        # its repo ever writes, attevaluator.py:130-135 — this pair
+        # completes that intent). No model, checkpoint, or device work.
+        if nproc > 1:
+            raise SystemExit("--visual-from is single-host (it renders "
+                             "from the full catalogs)")
+        from ..engine import metrics
+        from ..engine.visualize import visualize_ranked_results
+
+        blob = np.load(args.visual_from)
+        distmat = blob["distmat"]
+        q_items = list(query_loader.dataset.tracklets)
+        g_items = q_items + list(gallery_loader.dataset.tracklets)
+        if distmat.shape != (len(q_items), len(g_items)):
+            raise SystemExit(
+                f"saved distmat is {distmat.shape} but the catalogs are "
+                f"({len(q_items)}, {len(g_items)}) — was it saved from the "
+                "same dataset/split?"
+            )
+        cmc_curve, mAP = metrics.evaluate(
+            distmat, blob["q_pids"], blob["g_pids"],
+            blob["q_camids"], blob["g_camids"],
+        )
+        print("Mean AP: {:4.1%}".format(mAP))
+        for r in (1, 5, 10, 20):
+            if r <= len(cmc_curve):
+                print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
+        vis_dir = osp.join(args.logs_dir, "visual")
+        visualize_ranked_results(distmat, q_items, g_items, vis_dir)
+        print(f"saved ranked visualizations to {vis_dir}")
+        print("rank-1 accuracy is", float(cmc_curve[0]))
+        return float(cmc_curve[0])
+
     cnn, siamese, siamese_uncorr = build_models(args, tiny=args.tiny)
     template = init_train_state(
         jax.random.PRNGKey(args.seed), cnn, siamese, siamese_uncorr,
@@ -96,7 +132,7 @@ def main(args):
                           micro_batch=cfg.eval.micro_batch, rerank_k1=cfg.eval.rerank_k1,
                           rerank_k2=cfg.eval.rerank_k2, rerank_lambda=cfg.eval.rerank_lambda,
                           visual_dir=osp.join(args.logs_dir, "visual") if args.visual else None,
-                          mesh=mesh)
+                          mesh=mesh, save_distmat=args.save_distmat or None)
     top1 = evaluator.evaluate(state["params"], state["model_state"], query_loader,
                               gallery_loader, multihost=multihost)
     print("rank-1 accuracy is", top1)
@@ -124,6 +160,15 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=cfg.seed)
     parser.add_argument("--rerank", type=int, default=0)
     parser.add_argument("--visual", type=int, default=0)
+    parser.add_argument("--save-distmat", type=str, default="", dest="save_distmat",
+                        metavar="NPZ",
+                        help="persist the final (post-rerank) distance matrix "
+                             "+ pids/camids for --visual-from round-trips")
+    parser.add_argument("--visual-from", type=str, default="", dest="visual_from",
+                        metavar="NPZ",
+                        help="re-render ranked strips + re-run the protocol "
+                             "from a --save-distmat npz without re-extracting "
+                             "features (no checkpoint needed)")
     parser.add_argument("--data-dir", type=str, metavar="PATH", default="")
     parser.add_argument("--logs-dir", type=str, metavar="PATH", default="log/grl")
     parser.add_argument("--checkpoint", type=str, default="")

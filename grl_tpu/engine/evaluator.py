@@ -85,7 +85,7 @@ def _scatter_add_rows(buf, rows, ids):
 class Evaluator:
     def __init__(
         self, cnn, siamese, only_eval=False, micro_batch=64, rerank=False, visual_dir=None,
-        mesh=None, rerank_k1=20, rerank_k2=6, rerank_lambda=0.3,
+        mesh=None, rerank_k1=20, rerank_k2=6, rerank_lambda=0.3, save_distmat=None,
     ):
         self.cnn = cnn
         self.siamese = siamese
@@ -95,6 +95,12 @@ class Evaluator:
         self.rerank_k2 = rerank_k2
         self.rerank_lambda = rerank_lambda
         self.visual_dir = visual_dir  # save ranked-result strips (test_all.py --visual)
+        # npz path: persist the final (post-rerank) distance matrix +
+        # pids/camids so ranked strips can be re-rendered and the protocol
+        # re-run without re-extracting (the dist.mat round-trip the
+        # reference's --visual intends, attevaluator.py:130-135, but whose
+        # writer it never shipped)
+        self.save_distmat = save_distmat
         self.mesh = mesh  # multi-chip: clips sharded over the batch axis
         if mesh is not None:
             ndev = mesh.shape[mesh.axis_names[0]]
@@ -320,7 +326,7 @@ class Evaluator:
             from .rerank import warn_if_degenerate
 
             warn_if_degenerate(qf.shape[0] + gf.shape[0], self.rerank_k1, self.rerank_k2)
-            if on_tpu:
+            if on_tpu or multihost is not None:
                 # On-device set algebra + Pallas Jaccard min-sum. The n^2
                 # distance matrices never leave the chip — only features go
                 # up; ranking below also runs on device. Drop EVERY
@@ -337,18 +343,16 @@ class Evaluator:
                 box = [distmat, _euclidean(qf_d, qf_d), _euclidean(gf_d, gf_d)]
                 del qf_d, gf_d
                 qf = gf = distmat = None  # boxed refs are the only ones left
+                # multihost off-TPU (the 2-process CPU test rig): the host
+                # algorithm cannot pull a cross-process distance matrix, so
+                # the device path runs with the Pallas kernel interpreted
                 distmat = re_ranking_device(
                     inputs_box=box,
                     k1=self.rerank_k1, k2=self.rerank_k2,
                     lambda_value=self.rerank_lambda, mesh=self.mesh,
+                    interpret=not on_tpu,
                 )
             else:
-                if multihost is not None:
-                    raise ValueError(
-                        "multihost re-ranking needs the device path (TPU "
-                        "backend): the host algorithm cannot pull a "
-                        "cross-process distance matrix"
-                    )
                 qq = np.asarray(_euclidean(qf_d, qf_d))
                 gg = np.asarray(_euclidean(gf_d, gf_d))
                 distmat = _re_ranking(
@@ -356,6 +360,18 @@ class Evaluator:
                     k1=self.rerank_k1, k2=self.rerank_k2,
                     lambda_value=self.rerank_lambda,
                 )
+
+        if self.save_distmat:
+            if multihost is not None:
+                print("--save-distmat skipped under multi-host (the "
+                      "distance matrix spans non-addressable devices); "
+                      "re-run single-host to save it")
+            else:
+                np.savez(self.save_distmat, distmat=np.asarray(distmat),
+                         q_pids=q_pids, q_camids=q_camids,
+                         g_pids=g_pids, g_camids=g_camids,
+                         rerank=np.bool_(self.rerank))
+                print(f"saved distance matrix to {self.save_distmat}")
 
         if on_tpu or self.mesh is not None:
             # device protocol: only the CMC curve + mAP scalars come back

@@ -186,11 +186,17 @@ def mode_train(args):
 
 
 def mode_eval(args):
-    """Multi-host striped evaluation: each process extracts only its
-    contiguous stripe of the eval catalogs; features assemble into
-    globally-sharded arrays and the protocol runs SPMD over both
-    processes. Compared in-worker against the single-host evaluation of
-    the full catalogs (each process can do that locally at this scale)."""
+    """Multi-host striped evaluation WITH re-ranking: each process
+    extracts only its contiguous stripe of the eval catalogs; features
+    assemble into globally-sharded arrays and the distance matmul +
+    k-reciprocal re-ranking + protocol run SPMD over both processes.
+    Compared in-worker against the single-host evaluation of the full
+    catalogs (each process can do that locally at this scale), whose
+    rerank takes the HOST numpy path — an independent oracle.
+
+    More test ids than the train modes (18 test tracklets): the set
+    algebra needs q+gallery comfortably past 2*(k1+1) to be
+    non-degenerate at k1=5/k2=3."""
     import jax
 
     from grl_tpu import models
@@ -198,13 +204,14 @@ def mode_eval(args):
     from grl_tpu.engine.evaluator import Evaluator
     from grl_tpu.parallel import data_mesh, eval_catalog_meta
 
+    eval_kw = dict(DATASET_KW, num_test_ids=6)
     ds, _n, _t, q_full, g_full = get_data(
         "synthetic", batch_size=LOCAL_BATCH, seq_len=SEQ_LEN, workers=1,
-        seed=0, dataset_kwargs=DATASET_KW,
+        seed=0, dataset_kwargs=eval_kw,
     )
     _ds2, _n2, _t2, q_s, g_s = get_data(
         "synthetic", batch_size=LOCAL_BATCH, seq_len=SEQ_LEN, workers=1,
-        seed=0, dataset_kwargs=DATASET_KW, eval_stripe=True,
+        seed=0, dataset_kwargs=eval_kw, eval_stripe=True,
     )
     trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
     cnn = models.GRLModel(trunk=trunk)
@@ -223,12 +230,14 @@ def mode_eval(args):
     coordination_barrier("post_build", timeout_s=1200)
     multihost = {"query": eval_catalog_meta(ds.query),
                  "gallery": eval_catalog_meta(ds.gallery)}
-    striped = Evaluator(cnn, sia, micro_batch=8, mesh=mesh).evaluate(
+    rr = dict(rerank=True, rerank_k1=5, rerank_k2=3)
+    striped = Evaluator(cnn, sia, micro_batch=8, mesh=mesh, **rr).evaluate(
         p, s, q_s, g_s, multihost=multihost
     )
-    # single-host reference: full catalogs, local-devices-only execution
+    # single-host reference: full catalogs, local-devices-only execution,
+    # rerank via the host numpy path (mesh=None, CPU backend)
     local_mesh = None
-    ref = Evaluator(cnn, sia, micro_batch=8, mesh=local_mesh).evaluate(
+    ref = Evaluator(cnn, sia, micro_batch=8, mesh=local_mesh, **rr).evaluate(
         p, s, q_full, g_full
     )
     import json as _json

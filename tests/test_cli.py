@@ -83,6 +83,59 @@ def test_train_checkpoint_resume_evaluate_visual(tmp_path):
     assert visual.exists() and any(visual.iterdir()), "no ranked strips written"
 
 
+def test_evaluate_save_distmat_visual_from_roundtrip(tmp_path):
+    """--save-distmat persists the final (post-rerank) distance matrix +
+    ids; --visual-from re-renders ranked strips and re-runs the protocol
+    from that npz with NO checkpoint, model, or feature extraction —
+    completing the reference's dist.mat round-trip intent (its --visual
+    loads a dist.mat nothing in its repo ever writes,
+    attevaluator.py:130-135)."""
+    logs = tmp_path / "run"
+    run_train(tmp_path, logs, ["--epochs", "1"])
+
+    npz = tmp_path / "dist.npz"
+    argv = ["-d", "synthetic", "--tiny", "--seq_len", "2", "-j", "2",
+            "--logs-dir", str(logs), "--rerank", "1",
+            "--save-distmat", str(npz)]
+    stdout = sys.stdout
+    try:
+        top1 = eval_main(eval_parser().parse_args(argv))
+    finally:
+        sys.stdout = stdout
+    assert npz.exists()
+    blob = np.load(npz)
+    assert bool(blob["rerank"]) is True
+    assert blob["distmat"].shape == (len(blob["q_pids"]), len(blob["g_pids"]))
+
+    # round-trip into a FRESH logs dir: no checkpoint anywhere near it
+    logs2 = tmp_path / "replay"
+    argv = ["-d", "synthetic", "--tiny", "--seq_len", "2", "-j", "2",
+            "--logs-dir", str(logs2), "--visual-from", str(npz)]
+    try:
+        top1_replay = eval_main(eval_parser().parse_args(argv))
+    finally:
+        sys.stdout = stdout
+    assert top1_replay == pytest.approx(top1)
+    visual = logs2 / "visual"
+    assert visual.exists() and any(visual.iterdir()), "no ranked strips written"
+    log = (logs2 / "log_test0.txt").read_text()
+    assert "Mean AP" in log and "Rank-1" in log
+
+    # a distmat saved from a different dataset/split errors loudly instead
+    # of rendering garbage strips
+    wrong = tmp_path / "wrong.npz"
+    np.savez(wrong, distmat=blob["distmat"][:, :-1], q_pids=blob["q_pids"],
+             g_pids=blob["g_pids"][:-1], q_camids=blob["q_camids"],
+             g_camids=blob["g_camids"][:-1], rerank=blob["rerank"])
+    argv = ["-d", "synthetic", "--tiny", "--seq_len", "2", "-j", "2",
+            "--logs-dir", str(logs2), "--visual-from", str(wrong)]
+    try:
+        with pytest.raises(SystemExit, match="same dataset"):
+            eval_main(eval_parser().parse_args(argv))
+    finally:
+        sys.stdout = stdout
+
+
 def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     """Graceful preemption: SIGTERM mid-run must stop at a step boundary,
     write a consistent checkpoint, and return — and --resume must replay
@@ -512,7 +565,7 @@ def test_extract_serve_loop(tmp_path):
     assert ping == {"ok": True, "op": "ping", "dim": desc["dim"],
                     "batch": 4, "gallery": 5, "capacity": 5,
                     "rerank": True, "rerank_queries": 16,
-                    "ms": ping["ms"]}
+                    "rerank_staged": False, "ms": ping["ms"]}
     assert bad["ok"] is False and "JSONDecodeError" in bad["error"]
     assert rank_k0["ok"] is False and "topk must be >= 1" in rank_k0["error"]
     assert unknown["ok"] is False and "frobnicate" in unknown["error"]
@@ -865,14 +918,16 @@ def test_extract_serve_sigterm_graceful(tmp_path):
     assert not osp.exists(sock_path)  # unlinked on the signal path
 
 
-def test_extract_serve_rerank(tmp_path):
+def test_extract_serve_rerank(tmp_path, monkeypatch):
     """The daemon's {"rerank": true} rank must reproduce the one-shot
     `rank --rerank` math (k-reciprocal re-ranking) against the grown
-    index through the compile-once masked builder: scores equal the host
-    re_ranking oracle at the returned indices, the order matches the
-    oracle's, and an index below k1+1 total items is rejected per
-    request (the padded top-k clamps would diverge from the reference
-    below that)."""
+    index through the compile-once masked builders — BOTH routes: the
+    one-jit padded builder at default scale and the staged memory-lean
+    builder past _RERANK_ONEJIT_MAX (threshold shrunk to run it at toy
+    n). Scores equal the host re_ranking oracle at the returned indices,
+    the order matches the oracle's, and an index below k1+1 total items
+    is rejected per request (the padded top-k clamps would diverge from
+    the reference below that)."""
     import io
     import json
 
@@ -968,16 +1023,33 @@ def test_extract_serve_rerank(tmp_path):
     assert rr["results"][0]["matches"][0]["score"] != pytest.approx(
         plain["results"][0]["matches"][0]["score"])
 
-    # past the one-jit builder's 16384-item limit the daemon must reject
-    # rerank requests with the remedy, not stall on a staged compile
+    # past the one-jit builder's scale the daemon routes rerank through
+    # the staged memory-lean builder (engine/rerank.py) — same capacity-
+    # padded convention, same reference math. Shrink the route threshold
+    # so the staged path runs at toy n, seed from the saved index, and
+    # pin the answers against the SAME host oracle (incl. --warmup
+    # compiling the staged stages before readiness).
+    from grl_tpu.cli import extract as extract_mod
+    monkeypatch.setattr(extract_mod, "_RERANK_ONEJIT_MAX", 8)
     out2 = io.StringIO()
     serve(extract_parser().parse_args([
-        "serve", "--model", str(model), "--capacity", "17000",
-    ]), inp=io.StringIO(json.dumps(
+        "serve", "--model", str(model),
+        "--gallery", str(tmp_path / "index.npz"),
+        "--topk", "5", "--rerank-queries", "4", "--warmup",
+    ]), inp=io.StringIO("\n".join(json.dumps(r) for r in [
+        {"op": "ping"},
         {"op": "rank", "clips": str(tmp_path / "qclips.npz"),
-         "rerank": True}) + "\n"), out=out2)
-    r = json.loads(out2.getvalue().splitlines()[0])
-    assert r["ok"] is False and "16384" in r["error"]
+         "rerank": True, "topk": 5},
+    ]) + "\n"), out=out2)
+    ping2, rr2 = [json.loads(l) for l in out2.getvalue().splitlines()]
+    assert ping2["ok"] and ping2["rerank"] and ping2["rerank_staged"]
+    assert rr2["ok"] and rr2.get("reranked") is True
+    for qi, rec in enumerate(rr2["results"]):
+        got = [m["gallery"] for m in rec["matches"]]
+        np.testing.assert_array_equal(got, np.argsort(dist[qi])[:5])
+        np.testing.assert_allclose(
+            [m["score"] for m in rec["matches"]], -dist[qi][got],
+            rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

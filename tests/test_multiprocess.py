@@ -159,11 +159,12 @@ def test_two_process_training_matches_single_process_replay(tmp_path):
 
 @pytest.mark.slow
 def test_two_process_striped_eval_matches_single_host(tmp_path):
-    """Multi-host evaluation for real: each process extracts only its
-    contiguous catalog stripe, features assemble into globally-sharded
-    arrays, and the distance matmul + device protocol run SPMD over both
-    processes. Each worker also evaluates the full catalogs single-host
-    and the rank-1 results must agree."""
+    """Multi-host evaluation for real, FULL tail: each process extracts
+    only its contiguous catalog stripe, features assemble into globally-
+    sharded arrays, and the distance matmul + k-reciprocal re-ranking +
+    device protocol run SPMD over both processes. Each worker also
+    evaluates the full catalogs single-host (host-numpy re-ranking — an
+    independent oracle) and the rank-1 results must agree."""
     procs = spawn_workers(tmp_path, "eval", free_port())
     wait_all(procs, tmp_path, "eval", timeout=1800)
     r0 = json.loads((tmp_path / "eval_0.json").read_text())
