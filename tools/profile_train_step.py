@@ -70,14 +70,19 @@ def report(logdir, tool, top):
         print(out if isinstance(out, str) else json.dumps(out)[:20000])
 
 
-def _print_hlo_stats(table, top):
-    """Aggregate the hlo_stats gviz table: self time by category, then
-    the top individual ops."""
+def _recs(table):
     cols = [c["id"] for c in table["cols"]]
     recs = [
         {k: (c or {}).get("v") for k, c in zip(cols, r["c"])} for r in table["rows"]
     ]
     tkey = "total_self_time" if "total_self_time" in cols else "total_time"
+    return cols, recs, tkey
+
+
+def _print_hlo_stats(table, top):
+    """Aggregate the hlo_stats gviz table: self time by category, then
+    the top individual ops."""
+    cols, recs, tkey = _recs(table)
     total = sum(float(r.get(tkey) or 0) for r in recs)
     by_cat = {}
     for r in recs:
@@ -99,6 +104,70 @@ def _print_hlo_stats(table, top):
         )
 
 
+# v5e peaks for the roofline columns (same anchors as
+# docs/PERFORMANCE.md "Roofline anchors")
+_PEAK_TFLOPS_BF16 = 197.0
+_PEAK_HBM_GBS = 819.0
+
+
+def _print_roofline(table, steps, pattern):
+    """Per-HLO roofline table for ops matching ``pattern`` (default: the
+    convolution fusions): self time, achieved TFLOP/s and HBM GB/s from
+    the profiler's own flop/byte counts, and which peak binds each op.
+    The table behind the conv-backward interrogation (VERDICT round 3,
+    weak 5 / next 5) — the same method that exonerated conv1 from the
+    space-to-depth idea (docs/PERFORMANCE.md)."""
+    import re
+
+    cols, recs, tkey = _recs(table)
+    # column names vary across xprof versions; detect what exists
+    def pick(r, *names):
+        for n in names:
+            if r.get(n) is not None:
+                return float(r[n])
+        return 0.0
+
+    rx = re.compile(pattern)
+    rows = []
+    for r in recs:
+        name = r.get("hlo_op_name") or ""
+        expr = r.get("hlo_op_expression") or ""
+        if not (rx.search(name) or rx.search(r.get("category") or "")):
+            continue
+        us = pick(r, tkey)  # across all traced steps
+        if us <= 0:
+            continue
+        gflops = pick(r, "model_flops", "flops")  # summed over occurrences
+        # rates: prefer the profiler's own normalized rate columns
+        tflops_s = pick(r, "measured_flop_rate", "model_flop_rate") / 1e3
+        gbytes_s = pick(r, "measured_memory_bw", "memory_bw")
+        if not tflops_s and gflops:
+            tflops_s = gflops / us / 1e3
+        rows.append({
+            "name": name, "expr": expr[:100],
+            "ms_step": us / 1e3 / max(steps, 1),
+            "occ": int(r.get("occurrences") or 0),
+            "tflops_s": tflops_s, "gbytes_s": gbytes_s,
+            "pct_mxu": 100 * tflops_s / _PEAK_TFLOPS_BF16,
+            "pct_hbm": 100 * gbytes_s / _PEAK_HBM_GBS,
+        })
+    rows.sort(key=lambda r: -r["ms_step"])
+    tot = sum(r["ms_step"] for r in rows)
+    print(f"{len(rows)} matching ops, {tot:.2f} ms/step total "
+          f"(peaks: {_PEAK_TFLOPS_BF16:.0f} TFLOP/s bf16, "
+          f"{_PEAK_HBM_GBS:.0f} GB/s HBM)")
+    print(f"{'ms/step':>8} {'x':>4} {'TFLOP/s':>8} {'%MXU':>6} "
+          f"{'GB/s':>7} {'%HBM':>6}  {'bound':<5} name")
+    for r in rows:
+        bound = "MXU" if r["pct_mxu"] >= r["pct_hbm"] else "HBM"
+        print(f"{r['ms_step']:8.3f} {r['occ']:>4} {r['tflops_s']:8.1f} "
+              f"{r['pct_mxu']:6.1f} {r['gbytes_s']:7.1f} {r['pct_hbm']:6.1f}"
+              f"  {bound:<5} {r['name'][:70]}")
+    if rows and not any(r["tflops_s"] for r in rows):
+        print("\n(no flop-rate columns in this xprof build; available "
+              "columns:)", [c for c in cols])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -110,12 +179,24 @@ def main():
     ap.add_argument("--logdir", default="")
     ap.add_argument("--report-only", action="store_true",
                     help="skip capture; parse an existing --logdir")
+    ap.add_argument("--roofline", default="",
+                    help="per-HLO roofline table for ops whose name or "
+                         "category matches this regex (e.g. 'convolution')")
     args = ap.parse_args()
 
     logdir = args.logdir or tempfile.mkdtemp(prefix=f"xprof_b{args.batch}_")
     if not args.report_only:
         capture(args.batch, args.steps, args.seq_len, logdir)
         print(f"trace captured in {logdir}", file=sys.stderr)
+    if args.roofline:
+        from xprof.convert import raw_to_tool_data as convert
+
+        paths = sorted(glob.glob(osp.join(logdir, "**", "*.xplane.pb"),
+                                 recursive=True))
+        data, _ = convert.xspace_to_tool_data(paths, "hlo_stats", {})
+        out = data.decode() if isinstance(data, bytes) else data
+        _print_roofline(json.loads(out), args.steps, args.roofline)
+        return
     report(logdir, args.tool, args.top)
 
 
