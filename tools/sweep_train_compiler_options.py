@@ -7,7 +7,11 @@ reference batch (16 clips = 8 pairs, seq_len 8, bf16).
 Usage: python tools/sweep_train_compiler_options.py
 """
 
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,9 +24,17 @@ NUM_CLASSES = 625
 
 VARIANTS = {
     "default": None,
-    "vmem_32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    # round-4 backward-conv candidates (VERDICT next-5): the roofline
+    # table (tools/profile_train_step.py --roofline convolution) shows the
+    # conv time 95% at >=70% of its binding roofline, so these probe the
+    # residual scheduling/fusion margins rather than a known pathology.
+    "vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "autotune_fusions": {"xla_tpu_autotune_fusions": "true"},
+    "conv_input_downcast_fusion": {
+        "xla_tpu_allow_conv_input_fusion_with_downcast_convert": "true"
+    },
     "default2": None,
-    "vmem_32m_2": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    "vmem_32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
 }
 
 
