@@ -77,12 +77,12 @@ def main(args):
             raise SystemExit("--visual-from is single-host (it renders "
                              "from the full catalogs)")
         from ..engine import metrics
+        from ..engine.evaluator import eval_items, print_protocol
         from ..engine.visualize import visualize_ranked_results
 
         blob = np.load(args.visual_from)
         distmat = blob["distmat"]
-        q_items = list(query_loader.dataset.tracklets)
-        g_items = q_items + list(gallery_loader.dataset.tracklets)
+        q_items, g_items = eval_items(query_loader, gallery_loader)
         if distmat.shape != (len(q_items), len(g_items)):
             raise SystemExit(
                 f"saved distmat is {distmat.shape} but the catalogs are "
@@ -93,10 +93,7 @@ def main(args):
             distmat, blob["q_pids"], blob["g_pids"],
             blob["q_camids"], blob["g_camids"],
         )
-        print("Mean AP: {:4.1%}".format(mAP))
-        for r in (1, 5, 10, 20):
-            if r <= len(cmc_curve):
-                print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
+        print_protocol(cmc_curve, mAP)
         vis_dir = osp.join(args.logs_dir, "visual")
         visualize_ranked_results(distmat, q_items, g_items, vis_dir)
         print(f"saved ranked visualizations to {vis_dir}")

@@ -783,22 +783,33 @@ def serve(args, inp=None, out=None):
             except OSError:
                 pass
 
+    # Self-pipe teardown: the handler frame may be interrupting a holder
+    # of ANY non-reentrant lock on the main thread — lifecycle["lock"]
+    # (accept loop, stats update), threading's _active_limbo_lock (the
+    # accept loop's own Thread.start()), or a buffered-stderr write — so
+    # the handler must not acquire locks, start threads, or print. It sets
+    # the stop flag (dict write, GIL-atomic) and pokes a pipe with
+    # os.write (async-signal-safe); a PRE-SPAWNED waiter thread blocked in
+    # os.read runs the actual socket teardown.
+    _sig_r, _sig_w = os.pipe()
+
+    def _signal_waiter():
+        data = os.read(_sig_r, 1)
+        if data:  # empty read = pipe closed on the no-signal exit path
+            _stop_everything(f"caught signal {int(data[0])}")
+
     def _graceful(signum, _frame):
-        # The handler frame may be interrupting a holder of lifecycle
-        # ["lock"] (accept loop, stats update) — taking the non-reentrant
-        # lock here would deadlock, and print() to buffered stderr can
-        # raise a reentrant-call RuntimeError. Set the flag (lock-free,
-        # loops poll it) and delegate the socket teardown to a thread.
         lifecycle["stop"] = True
-        threading.Thread(
-            target=_stop_everything, args=(f"caught signal {signum}",),
-            daemon=True,
-        ).start()
+        try:
+            os.write(_sig_w, bytes([signum]))
+        except OSError:
+            pass  # pipe already closed during shutdown
 
     prev_handlers = {}
     try:
         for sig in (signal.SIGTERM, signal.SIGINT):
             prev_handlers[sig] = signal.signal(sig, _graceful)
+        threading.Thread(target=_signal_waiter, daemon=True).start()
     except ValueError:  # not the main thread
         prev_handlers = {}
 
@@ -937,6 +948,15 @@ def serve(args, inp=None, out=None):
     finally:
         for sig, handler in prev_handlers.items():
             signal.signal(sig, handler)
+        # unblock the signal waiter (os.read returns b"" on writer close).
+        # The read end is deliberately NOT closed: the waiter may still be
+        # blocked on it, and closing an fd under a blocked reader leaves
+        # the read hanging while the fd number gets reused. One fd per
+        # serve() lifetime.
+        try:
+            os.close(_sig_w)
+        except OSError:
+            pass
 
 
 def build_parser():

@@ -82,6 +82,24 @@ def _scatter_add_rows(buf, rows, ids):
     return buf.at[ids].add(rows)
 
 
+def print_protocol(cmc_curve, mAP, cmc_topk=(1, 5, 10, 20)):
+    """Reference-format CMC/mAP console block (test_all.py output). Shared
+    by the live evaluation and the --visual-from distmat replay so the two
+    paths cannot drift in format."""
+    print("Mean AP: {:4.1%}".format(mAP))
+    for r in cmc_topk:
+        if r <= len(cmc_curve):
+            print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
+
+
+def eval_items(query_loader, gallery_loader):
+    """Ranked-strip item lists. Gallery items = query ∪ gallery, matching
+    the distmat columns (the reference evaluates against the union,
+    attevaluator.py:125-163). Shared by --visual and --visual-from."""
+    q_items = list(query_loader.dataset.tracklets)
+    return q_items, q_items + list(gallery_loader.dataset.tracklets)
+
+
 class Evaluator:
     def __init__(
         self, cnn, siamese, only_eval=False, micro_batch=64, rerank=False, visual_dir=None,
@@ -382,10 +400,7 @@ class Evaluator:
             cmc_curve, mAP = metrics.evaluate(
                 np.asarray(distmat), q_pids, g_pids, q_camids, g_camids
             )
-        print("Mean AP: {:4.1%}".format(mAP))
-        for r in cmc_topk:
-            if r <= len(cmc_curve):
-                print("Rank-{:<3}: {:.1%}".format(r, cmc_curve[r - 1]))
+        print_protocol(cmc_curve, mAP, cmc_topk)
         print("------------------")
 
         if self.visual_dir and multihost is not None:
@@ -394,14 +409,12 @@ class Evaluator:
                   "only its catalog stripe); re-run single-host for --visual")
         if self.visual_dir and multihost is None:
             # ranked-result strips (reference attevaluator.py:130-135 +
-            # evaluator/visualize.py); gallery items = query ∪ gallery,
-            # matching the distmat columns. Skipped under multihost: the
+            # evaluator/visualize.py). Skipped under multihost: the
             # distmat spans non-addressable devices and the loaders hold
             # only this host's stripe — render from a single-host run.
             from .visualize import visualize_ranked_results
 
-            q_items = list(query_loader.dataset.tracklets)
-            g_items = q_items + list(gallery_loader.dataset.tracklets)
+            q_items, g_items = eval_items(query_loader, gallery_loader)
             visualize_ranked_results(np.asarray(distmat), q_items, g_items, self.visual_dir)
             print(f"saved ranked visualizations to {self.visual_dir}")
 

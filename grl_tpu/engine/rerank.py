@@ -33,11 +33,16 @@ def warn_if_degenerate(n_total, k1=20, k2=6):
     reference's, it is the algorithm's regime, not a bug). MARS-scale
     galleries (~11k) are the intended operating point."""
     if n_total < 2 * (k1 + 1):
+        import sys
+
+        # stderr, NOT stdout: the serve daemon's JSON-lines replies ride
+        # stdout in stdin mode — a stray print there corrupts the protocol
         print(
             f"WARNING: re-ranking a {n_total}-item query∪gallery with "
             f"k1={k1}, k2={k2}: k-reciprocal neighborhoods cover most of "
             "the set at this scale and typically DEGRADE the ranking; "
-            "use --rerank only at realistic gallery sizes (or lower k1/k2)"
+            "use --rerank only at realistic gallery sizes (or lower k1/k2)",
+            file=sys.stderr,
         )
         return True
     return False
@@ -109,11 +114,16 @@ def re_ranking_device(
             # that alone exceeds what reduced-ceiling single chips offer
             # (~11.5 GB usable observed on v5e sessions). Warn with the
             # remedy instead of dying in an opaque RESOURCE_EXHAUSTED.
+            import sys
+
+            # stderr, NOT stdout: the serve daemon's staged route reaches
+            # here with JSON-lines replies on stdout (stdin mode)
             print(
                 f"WARNING: re-ranking {n_total} items on ONE chip needs "
                 f"~{8 * n_total * n_total / 1e9:.1f} GB at its floor stage; "
                 "near/over the single-chip HBM ceiling — pass mesh=... to "
-                "row-shard the set algebra across chips", flush=True,
+                "row-shard the set algebra across chips",
+                file=sys.stderr, flush=True,
             )
         box = [jnp.asarray(q_g_dist), jnp.asarray(q_q_dist), jnp.asarray(g_g_dist)]
         q_g_dist = q_q_dist = g_g_dist = None
@@ -321,9 +331,11 @@ def _build_v_staged(box, k1=20, k2=6, mesh=None, defer_qexpand=False, valid=None
         # materialize a full n^2 copy just to read one element.)
         jax.device_get(x[(0,) * x.ndim])
         if _dbg:
+            import sys as _sys
+
             now = _time.perf_counter()
             print(f"stage sync: {x.shape} {x.dtype}  +{now - _t_last[0]:.3f}s",
-                  flush=True)
+                  file=_sys.stderr, flush=True)  # stderr: daemon-safe
             _t_last[0] = now
         return x
 

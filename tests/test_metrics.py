@@ -403,16 +403,24 @@ def test_padded_rerank_matches_host_on_valid_slices():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_staged_padded_rerank_matches_host_on_valid_slices():
+def test_staged_padded_rerank_matches_host_on_valid_slices(monkeypatch):
     """re_ranking_device(valid=(nq, ng)) — the serve daemon's rerank route
     past the one-jit builder's scale — must equal the host re_ranking of
     the unpadded inputs on the valid slices, with adversarial garbage in
     the padding, under the same geometries as the one-jit padded test
     plus growth through ONE padded shape (the staged stage programs are
-    cached per geometry; valid counts are traced scalars)."""
+    cached per geometry; valid counts are traced scalars).
+
+    _STAGE_BLOCK is shrunk so the masked s1's block-wise fori_loop body —
+    the only path real >4096-item serve indexes use — executes with
+    multiple blocks INCLUDING the overlapping tail, not just the
+    single-block degenerate case."""
     import jax.numpy as jnp
 
     from grl_tpu.engine import rerank as R
+
+    monkeypatch.setattr(R, "_STAGE_BLOCK", 16)
+    R._STAGED_CACHE.clear()  # stages close over the block width at build time
 
     rng = np.random.RandomState(13)
 
@@ -429,33 +437,39 @@ def test_staged_padded_rerank_matches_host_on_valid_slices():
         out[: m.shape[0], : m.shape[1]] = m
         return out
 
-    for (nq, ng, Q, G), k2 in [
-        ((6, 30, 8, 48), 3),   # both axes padded
-        ((8, 30, 8, 48), 3),   # query axis full
-        ((6, 48, 8, 48), 3),   # gallery axis full
-        ((6, 30, 8, 48), 1),   # no query expansion
-    ]:
-        qg, qq, gg = dists(nq, ng)
-        want = re_ranking(qg, qq, gg, k1=5, k2=k2, lambda_value=0.3)
-        got = np.asarray(R.re_ranking_device(
-            jnp.asarray(pad_garbage(qg, Q, G)),
-            jnp.asarray(pad_garbage(qq, Q, Q)),
-            jnp.asarray(pad_garbage(gg, G, G)),
-            k1=5, k2=k2, lambda_value=0.3, interpret=True, valid=(nq, ng),
-        ))[:nq, :ng]
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    try:
+        for (nq, ng, Q, G), k2 in [
+            ((6, 30, 8, 48), 3),   # both axes padded; 3 aligned s1 blocks
+            ((8, 30, 8, 48), 3),   # query axis full
+            ((6, 48, 8, 48), 3),   # gallery axis full
+            ((6, 30, 8, 48), 1),   # no query expansion
+            ((6, 34, 8, 40), 3),   # G=40: s1 block starts 0,16,24 -> the
+                                   # overlapping-tail rows 24-32 rewrite
+        ]:
+            qg, qq, gg = dists(nq, ng)
+            want = re_ranking(qg, qq, gg, k1=5, k2=k2, lambda_value=0.3)
+            got = np.asarray(R.re_ranking_device(
+                jnp.asarray(pad_garbage(qg, Q, G)),
+                jnp.asarray(pad_garbage(qq, Q, Q)),
+                jnp.asarray(pad_garbage(gg, G, G)),
+                k1=5, k2=k2, lambda_value=0.3, interpret=True, valid=(nq, ng),
+            ))[:nq, :ng]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
-    # growth through one padded shape: a larger valid count hits the SAME
-    # cached stage programs (traced scalars, no retrace) and stays correct
-    qg, qq, gg = dists(7, 40)
-    want = re_ranking(qg, qq, gg, k1=5, k2=3, lambda_value=0.3)
-    got = np.asarray(R.re_ranking_device(
-        jnp.asarray(pad_garbage(qg, 8, 48)),
-        jnp.asarray(pad_garbage(qq, 8, 8)),
-        jnp.asarray(pad_garbage(gg, 48, 48)),
-        k1=5, k2=3, lambda_value=0.3, interpret=True, valid=(7, 40),
-    ))[:7, :40]
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # growth through one padded shape: a larger valid count hits the
+        # SAME cached stage programs (traced scalars, no retrace) and
+        # stays correct
+        qg, qq, gg = dists(7, 40)
+        want = re_ranking(qg, qq, gg, k1=5, k2=3, lambda_value=0.3)
+        got = np.asarray(R.re_ranking_device(
+            jnp.asarray(pad_garbage(qg, 8, 48)),
+            jnp.asarray(pad_garbage(qq, 8, 8)),
+            jnp.asarray(pad_garbage(gg, 48, 48)),
+            k1=5, k2=3, lambda_value=0.3, interpret=True, valid=(7, 40),
+        ))[:7, :40]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    finally:
+        R._STAGED_CACHE.clear()  # don't leave 16-row-block programs cached
 
 
 def test_re_ranking_matches_oracle():

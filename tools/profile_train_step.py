@@ -131,7 +131,6 @@ def _print_roofline(table, steps, pattern):
     rows = []
     for r in recs:
         name = r.get("hlo_op_name") or ""
-        expr = r.get("hlo_op_expression") or ""
         if not (rx.search(name) or rx.search(r.get("category") or "")):
             continue
         us = pick(r, tkey)  # across all traced steps
@@ -144,7 +143,7 @@ def _print_roofline(table, steps, pattern):
         if not tflops_s and gflops:
             tflops_s = gflops / us / 1e3
         rows.append({
-            "name": name, "expr": expr[:100],
+            "name": name,
             "ms_step": us / 1e3 / max(steps, 1),
             "occ": int(r.get("occurrences") or 0),
             "tflops_s": tflops_s, "gbytes_s": gbytes_s,
