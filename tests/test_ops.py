@@ -85,10 +85,12 @@ def test_staged_build_v_matches_single_jit():
 def test_rerank_degenerate_scale_warning(capsys):
     from grl_tpu.engine.rerank import warn_if_degenerate
 
+    # stderr, not stdout: the serving daemon's stdout is a JSON-lines
+    # protocol a warning line would corrupt
     assert warn_if_degenerate(13, k1=20)
-    assert "WARNING" in capsys.readouterr().out
+    assert "WARNING" in capsys.readouterr().err
     assert not warn_if_degenerate(11310, k1=20)
-    assert capsys.readouterr().out == ""
+    assert capsys.readouterr().err == ""
 
 
 def test_staged_builder_caches_stage_programs():
