@@ -393,7 +393,7 @@ def serve(args, inp=None, out=None):
     call, meta, raw_call = _load_artifact(args.model)
     idx = rank_topk = None
     rerank_unavailable, q_pad = "rank needs serve --gallery or --capacity", 0
-    rr_staged = False
+    rr_staged, rr_mesh = False, None
     ADD_BLOCK = 256  # fixed enrollment granularity: one compiled update
     if args.gallery or args.capacity:
         if args.topk < 1:
@@ -437,11 +437,21 @@ def serve(args, inp=None, out=None):
             raise SystemExit("serve --rerank-queries must be >= 1")
         q_pad = meta["batch"] * -(-args.rerank_queries // meta["batch"])
         rerank_unavailable = None
+        # --devices > 1: row-shard the n^2 rerank set algebra over a
+        # device mesh (the headroom path past the single-chip HBM ceiling
+        # that engine/rerank.py's warning points at). The mesh only exists
+        # in the staged builder, so a mesh forces the staged route.
+        rr_mesh = None
+        if getattr(args, "devices", 1) and args.devices > 1:
+            from ..parallel import auto_mesh
+
+            rr_mesh = auto_mesh(limit=args.devices)
         # past the one-jit padded builder's scale (it holds ~6 n^2 fp32
         # buffers live), rerank routes through the staged memory-lean
         # builder with the same capacity-padding convention — still
         # compile-once at the padded geometry, valid counts traced
-        rr_staged = q_pad + buf.shape[0] > _RERANK_ONEJIT_MAX
+        rr_staged = (rr_mesh is not None
+                     or q_pad + buf.shape[0] > _RERANK_ONEJIT_MAX)
 
         # gallery rides as an argument (a closed-over array would be baked
         # into the program as a constant); scores are the same negative-
@@ -563,7 +573,8 @@ def serve(args, inp=None, out=None):
                    _euclidean(idx["gf"], idx["gf"])]
             qf = None
             return re_ranking_device(
-                inputs_box=box, valid=(n_q, n), interpret=rr_interpret
+                inputs_box=box, valid=(n_q, n), interpret=rr_interpret,
+                mesh=rr_mesh,
             )
         from ..engine.rerank import re_ranking_device_padded
 
@@ -641,6 +652,12 @@ def serve(args, inp=None, out=None):
                 # which builder answers rerank requests (observability:
                 # staged trades warm latency for n^2-stage memory headroom)
                 "rerank_staged": bool(idx is not None and rr_staged),
+                # devices the n^2 rerank set algebra row-shards over
+                # (1 = single-device; >1 only with --devices and a mesh)
+                "rerank_devices": (
+                    rr_mesh.devices.size
+                    if idx is not None and rr_mesh is not None else 1
+                ),
             }
         if op == "stats":
             # monitoring surface: per-op counters + latency aggregates
@@ -1074,6 +1091,13 @@ def build_parser():
                         "rank, enrollment, rerank) before accepting "
                         "requests — first-request compiles otherwise cost "
                         "minutes at full model size")
+    s.add_argument("--devices", type=int, default=1,
+                   help="row-shard the n^2 rerank set algebra over up to "
+                        "this many local devices (forces the staged "
+                        "builder; the headroom path past the single-chip "
+                        "HBM ceiling at very large --capacity). Descriptor "
+                        "extraction stays on one device (the AOT artifact "
+                        "is a single-device program)")
     s.add_argument("--listen", type=str, default="",
                    help="serve over a socket instead of stdin/stdout: "
                         "'host:port' (port 0 picks one; the bound address "

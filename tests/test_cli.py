@@ -565,7 +565,8 @@ def test_extract_serve_loop(tmp_path):
     assert ping == {"ok": True, "op": "ping", "dim": desc["dim"],
                     "batch": 4, "gallery": 5, "capacity": 5,
                     "rerank": True, "rerank_queries": 16,
-                    "rerank_staged": False, "ms": ping["ms"]}
+                    "rerank_staged": False, "rerank_devices": 1,
+                    "ms": ping["ms"]}
     assert bad["ok"] is False and "JSONDecodeError" in bad["error"]
     assert rank_k0["ok"] is False and "topk must be >= 1" in rank_k0["error"]
     assert unknown["ok"] is False and "frobnicate" in unknown["error"]
@@ -1043,8 +1044,35 @@ def test_extract_serve_rerank(tmp_path, monkeypatch):
     ]) + "\n"), out=out2)
     ping2, rr2 = [json.loads(l) for l in out2.getvalue().splitlines()]
     assert ping2["ok"] and ping2["rerank"] and ping2["rerank_staged"]
+    assert ping2["rerank_devices"] == 1
     assert rr2["ok"] and rr2.get("reranked") is True
     for qi, rec in enumerate(rr2["results"]):
+        got = [m["gallery"] for m in rec["matches"]]
+        np.testing.assert_array_equal(got, np.argsort(dist[qi])[:5])
+        np.testing.assert_allclose(
+            [m["score"] for m in rec["matches"]], -dist[qi][got],
+            rtol=1e-4, atol=1e-5)
+
+    # --devices: the rerank set algebra row-shards over the (virtual)
+    # device mesh — mesh forces the staged route at ANY scale (restore
+    # the default threshold to prove that), same oracle answers
+    monkeypatch.setattr(extract_mod, "_RERANK_ONEJIT_MAX", 16384)
+    out3 = io.StringIO()
+    serve(extract_parser().parse_args([
+        "serve", "--model", str(model),
+        "--gallery", str(tmp_path / "index.npz"),
+        "--topk", "5", "--rerank-queries", "4",
+        "--devices", str(len(jax.devices())),
+    ]), inp=io.StringIO("\n".join(json.dumps(r) for r in [
+        {"op": "ping"},
+        {"op": "rank", "clips": str(tmp_path / "qclips.npz"),
+         "rerank": True, "topk": 5},
+    ]) + "\n"), out=out3)
+    ping3, rr3 = [json.loads(l) for l in out3.getvalue().splitlines()]
+    assert ping3["ok"] and ping3["rerank_staged"]
+    assert ping3["rerank_devices"] == len(jax.devices())
+    assert rr3["ok"] and rr3.get("reranked") is True
+    for qi, rec in enumerate(rr3["results"]):
         got = [m["gallery"] for m in rec["matches"]]
         np.testing.assert_array_equal(got, np.argsort(dist[qi])[:5])
         np.testing.assert_allclose(

@@ -188,6 +188,48 @@ def test_staged_rerank_set_algebra_sharded_matches_numpy(monkeypatch):
     np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_staged_masked_rerank_sharded_matches_numpy(monkeypatch):
+    """The serve daemon's capacity-padded staged route (valid counts as
+    traced scalars, masked s1) composed with mesh row-sharding — the shape
+    a multi-chip serving deployment would run — must equal host numpy on
+    the valid slices with adversarial garbage in the padding, multi-block
+    s1 included."""
+    import jax.numpy as jnp
+
+    from grl_tpu.engine import rerank as R
+    from grl_tpu.engine.rerank import re_ranking, re_ranking_device
+
+    rng = np.random.RandomState(3)
+    nq, ng, Q, G = 6, 41, 8, 48  # padded n0 = 56: mesh-divisible by 8
+    feats = rng.randn(nq + ng, 16).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    d = np.linalg.norm(feats[:, None] - feats[None, :], axis=2).astype(np.float32)
+    np.fill_diagonal(d, 0.0)
+    qg, qq, gg = d[:nq, nq:], d[:nq, :nq], d[nq:, nq:]
+
+    def pad_garbage(m, rows, cols):
+        out = np.empty((rows, cols), np.float32)
+        out[:] = rng.choice([1e6, -5.0, 3e-8, 0.0], size=(rows, cols))
+        out[: m.shape[0], : m.shape[1]] = m
+        return out
+
+    mesh = data_mesh(8)
+    ref = re_ranking(qg, qq, gg, k1=5, k2=3, lambda_value=0.3)
+    monkeypatch.setattr(R, "_STAGE_BLOCK", 16)
+    R._STAGED_CACHE.clear()  # stages close over the block width at build time
+    try:
+        dev = np.asarray(re_ranking_device(
+            jnp.asarray(pad_garbage(qg, Q, G)),
+            jnp.asarray(pad_garbage(qq, Q, Q)),
+            jnp.asarray(pad_garbage(gg, G, G)),
+            k1=5, k2=3, lambda_value=0.3, interpret=True, mesh=mesh,
+            valid=(nq, ng),
+        ))[:nq, :ng]
+    finally:
+        R._STAGED_CACHE.clear()
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_shard_catalog_partitions_whole_pids():
     """Multi-host catalog sharding: disjoint, complete, whole identities
     per process (the pair sampler must find a same-pid positive locally),
