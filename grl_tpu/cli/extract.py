@@ -301,13 +301,43 @@ def _artifact_chunks(clips, batch):
         yield chunk, size
 
 
-def _describe_to_npz(call, meta, clips_path, out_path):
+def _load_npz_any(spec):
+    """An npz operand in a daemon request: a filesystem path string (the
+    shared-filesystem handoff, the default) or an inline payload
+    ``{"npz_b64": <base64 of the npz file bytes>}`` so socket clients on
+    OTHER machines need no shared filesystem (``grl_tpu.client`` encodes
+    numpy arrays this way)."""
+    if isinstance(spec, dict):
+        if "npz_b64" not in spec:
+            raise ValueError(
+                "inline npz operand must be {'npz_b64': <base64 bytes>}, "
+                f"got keys {sorted(spec)}"
+            )
+        import base64
+        import io
+
+        raw = base64.b64decode(spec["npz_b64"], validate=True)
+        return np.load(io.BytesIO(raw))
+    return np.load(spec)
+
+
+def _npz_b64(payload):
+    """Arrays -> base64 of the npz file bytes (inline response body)."""
+    import base64
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _describe_payload(call, meta, clips_src):
     """Clips npz (``clips`` (n, S, h, w, c) uint8, optional ``pids``/
-    ``camids`` passthrough) -> descriptor npz at ``out_path``.
+    ``camids`` passthrough) -> descriptor payload dict.
 
     The single assembly used by the one-shot ``describe`` subcommand and
     the daemon's describe op (pinned bit-for-bit equal in CI)."""
-    src = np.load(clips_path)
+    src = _load_npz_any(clips_src)
     clips = src["clips"]
     _check_clips(clips, meta)
     feats = np.concatenate(
@@ -318,8 +348,13 @@ def _describe_to_npz(call, meta, clips_path, out_path):
     for k in ("pids", "camids"):
         if k in src.files:
             payload[k] = src[k]
+    return payload
+
+
+def _describe_to_npz(call, meta, clips_path, out_path):
+    payload = _describe_payload(call, meta, clips_path)
     np.savez(out_path, **payload)
-    return feats
+    return payload["features"]
 
 
 def describe_with_export(args):
@@ -362,6 +397,13 @@ def serve(args, inp=None, out=None):
     with the ``rank`` subcommand's match schema against the resident index
     (features device-resident, similarities + top-k on device; only the
     (batch, topk) winners cross the host boundary).
+
+    Every npz operand (``clips``/``features``) also accepts an INLINE
+    payload ``{"npz_b64": <base64 of the npz bytes>}`` in place of the
+    path, and ``describe``/``save`` answer inline (``npz_b64`` in the
+    response) when ``out`` is omitted — socket clients on other machines
+    have no shared filesystem. ``grl_tpu.client.ServeClient`` wraps the
+    whole protocol with a numpy-in/numpy-out API.
 
     The index seeds from --gallery and grows in place: ``add`` enrolls new
     descriptors (raw clips are described first) up to --capacity — the
@@ -519,7 +561,8 @@ def serve(args, inp=None, out=None):
 
     def load_add_features(req):
         """An add request carries either descriptors or raw clips."""
-        src = np.load(req["features"] if "features" in req else req["clips"])
+        src = _load_npz_any(
+            req["features"] if "features" in req else req["clips"])
         if "features" in req:
             feats = np.asarray(src["features"], np.float32)
             if feats.ndim != 2 or feats.shape[1] != meta["dim"]:
@@ -675,9 +718,19 @@ def serve(args, inp=None, out=None):
         if op == "shutdown":
             return {"ok": True, "op": "shutdown"}
         if op == "describe":
-            feats = _describe_to_npz(call, meta, req["clips"], req["out"])
+            if req.get("out"):
+                feats = _describe_to_npz(call, meta, req["clips"],
+                                         req["out"])
+                return {"ok": True, "op": "describe",
+                        "n": int(feats.shape[0]),
+                        "dim": int(feats.shape[1]), "out": req["out"]}
+            # no "out": answer inline (remote clients have no shared
+            # filesystem to hand the descriptor npz back through)
+            payload = _describe_payload(call, meta, req["clips"])
+            feats = payload["features"]
             return {"ok": True, "op": "describe", "n": int(feats.shape[0]),
-                    "dim": int(feats.shape[1]), "out": req["out"]}
+                    "dim": int(feats.shape[1]),
+                    "npz_b64": _npz_b64(payload)}
         if op == "add":
             if idx is None:
                 raise ValueError("add needs serve --gallery or --capacity")
@@ -690,11 +743,15 @@ def serve(args, inp=None, out=None):
         if op == "save":
             if idx is None:
                 raise ValueError("save needs serve --gallery or --capacity")
-            np.savez(req["out"],
-                     features=np.asarray(idx["gf"])[: idx["n"]],
-                     pids=idx["pids"], camids=idx["camids"])
+            payload = {"features": np.asarray(idx["gf"])[: idx["n"]],
+                       "pids": idx["pids"], "camids": idx["camids"]}
+            if req.get("out"):
+                np.savez(req["out"], **payload)
+                return {"ok": True, "op": "save", "n": idx["n"],
+                        "out": req["out"]}
+            # no "out": ship the index inline (remote clients)
             return {"ok": True, "op": "save", "n": idx["n"],
-                    "out": req["out"]}
+                    "npz_b64": _npz_b64(payload)}
         if op == "rank":
             if idx is None:
                 raise ValueError("rank needs serve --gallery or --capacity")
@@ -702,7 +759,7 @@ def serve(args, inp=None, out=None):
                 raise ValueError(rerank_unavailable)  # config error first
             if idx["n"] == 0:
                 raise ValueError("index is empty — enroll with add first")
-            src = np.load(req["clips"])
+            src = _load_npz_any(req["clips"])
             clips = src["clips"]
             _check_clips(clips, meta)
             topk = int(req.get("topk", args.topk))

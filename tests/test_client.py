@@ -1,0 +1,215 @@
+"""grl_tpu.client.ServeClient against a REAL serve daemon.
+
+The client is the numpy-in/numpy-out wrapper over the daemon's
+JSON-lines protocol; these tests pin its whole surface — inline npz
+encoding both directions (no shared filesystem needed), path
+passthrough, label ride-along, error mapping to ServeError, and the
+spawn-mode subprocess lifecycle — against the same daemon the protocol
+tests in test_cli.py cover wire-level."""
+
+import os.path as osp
+import subprocess
+import sys
+import threading
+import time
+from contextlib import contextmanager
+
+import numpy as np
+import pytest
+
+from test_cli import run_train
+
+from grl_tpu.client import ServeClient, ServeError
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    """One tiny trained + exported model for every client test."""
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import main as extract_main
+
+    tmp = tmp_path_factory.mktemp("client_artifact")
+    run_train(tmp, tmp / "run", ["--epochs", "1"])
+    model = tmp / "model.npz"
+    extract_main(extract_parser().parse_args([
+        "export-model", "--checkpoint", str(tmp / "run" / "checkpoint.npz"),
+        "--tiny", "--num-classes", "4", "--batch", "4", "--seq_len", "2",
+        "--height", "64", "--width", "32", "-o", str(model),
+    ]))
+    rng = np.random.RandomState(11)
+    gclips = rng.randint(0, 256, (5, 2, 64, 32, 3), np.uint8)
+    np.savez(tmp / "gclips.npz", clips=gclips,
+             pids=np.arange(10, 15), camids=np.arange(5) % 2)
+    extract_main(extract_parser().parse_args([
+        "describe", "--model", str(model),
+        "--clips", str(tmp / "gclips.npz"), "-o", str(tmp / "gallery.npz"),
+    ]))
+    return {"dir": tmp, "model": model, "gclips": gclips,
+            "gallery": tmp / "gallery.npz"}
+
+
+@contextmanager
+def _daemon_over_unix(artifact, tmp_path, extra=()):
+    """In-process serve thread on a unix socket; yields (path, thread).
+
+    The thread is daemonic AND shut down on exit even when the test body
+    raises — a live accept loop would otherwise hang the interpreter at
+    pytest exit with the failure already printed (observed: "1 failed in
+    15s" then a forever-blocked process)."""
+    from grl_tpu.cli.extract import build_parser as extract_parser
+    from grl_tpu.cli.extract import serve
+
+    sock = str(tmp_path / "serve.sock")
+    args = extract_parser().parse_args([
+        "serve", "--model", str(artifact["model"]),
+        "--gallery", str(artifact["gallery"]), "--capacity", "8",
+        "--topk", "8", "--listen", f"unix:{sock}", *extra,
+    ])
+    t = threading.Thread(target=serve, args=(args,), daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 120
+        while not osp.exists(sock):
+            assert time.time() < deadline and t.is_alive()
+            time.sleep(0.05)
+        yield sock, t
+    finally:
+        if t.is_alive():
+            try:
+                ServeClient.connect(f"unix:{sock}", timeout=120).shutdown()
+            except (OSError, ServeError):
+                pass  # already stopping (e.g. the test shut it down)
+        t.join(timeout=120)
+
+
+def test_client_socket_roundtrip(artifact, tmp_path):
+    """The full client surface over a real unix socket, arrays inline
+    both ways — the remote-client deployment shape (no shared
+    filesystem assumed except where a path is explicitly passed)."""
+    gclips = artifact["gclips"]
+    oracle = np.load(artifact["gallery"])["features"]
+
+    with _daemon_over_unix(artifact, tmp_path) as (sock, t), \
+            ServeClient.connect(f"unix:{sock}", timeout=600) as c:
+        ping = c.ping()
+        assert ping["dim"] == oracle.shape[1] and ping["gallery"] == 5
+        assert ping["capacity"] == 8 and ping["batch"] == 4
+
+        # describe: inline clips + label ride-along -> inline features,
+        # bit-equal to the one-shot subcommand's output (same program)
+        got = c.describe(gclips, pids=np.arange(10, 15),
+                         camids=np.arange(5) % 2)
+        np.testing.assert_array_equal(got["features"], oracle)
+        np.testing.assert_array_equal(got["pids"], np.arange(10, 15))
+        np.testing.assert_array_equal(got["camids"], np.arange(5) % 2)
+
+        # describe: daemon-side path in, daemon-side npz out
+        out = tmp_path / "feats.npz"
+        resp = c.describe(str(artifact["dir"] / "gclips.npz"), out=out)
+        assert resp["n"] == 5 and osp.exists(out)
+        np.testing.assert_array_equal(np.load(out)["features"], oracle)
+
+        # labels cannot ride with a path (they belong inside that npz)
+        with pytest.raises(ValueError, match="in-memory"):
+            c.describe(str(artifact["dir"] / "gclips.npz"),
+                       pids=np.arange(5))
+
+        # rank: gallery clips retrieve themselves first; the self-match
+        # score is the 3-block cosine similarity — two unit blocks + the
+        # clip-mean block (norm <= 1), so it lives in (2, 3] and equals
+        # the host dot product of the descriptor with itself
+        hits = c.rank(gclips[[1, 3]], topk=2)["results"]
+        assert [h["matches"][0]["gallery"] for h in hits] == [1, 3]
+        assert [h["matches"][0]["pid"] for h in hits] == [11, 13]
+        for h, g in zip(hits, (1, 3)):
+            top = h["matches"][0]
+            assert 2.0 < top["score"] <= 3.0 + 1e-5
+            assert top["score"] == pytest.approx(
+                float(oracle[g] @ oracle[g]), abs=1e-4)
+
+        # add: enroll descriptors from memory with labels, index grows
+        new = np.stack([oracle[0] * 0.9 + oracle[4] * 0.1,
+                        oracle[2] * 0.8 + oracle[3] * 0.2])
+        resp = c.add(features=new, pids=[77, 78], camids=[1, 0])
+        assert resp["added"] == 2 and resp["gallery"] == 7
+        hits = c.rank(gclips[[0]], topk=7)["results"][0]["matches"]
+        assert {m["gallery"] for m in hits} == set(range(7))
+        assert any(m["pid"] == 77 for m in hits)
+
+        # save: fetch the grown index inline; also write daemon-side
+        idx = c.save()
+        assert idx["features"].shape == (7, oracle.shape[1])
+        np.testing.assert_array_equal(idx["pids"],
+                                      [10, 11, 12, 13, 14, 77, 78])
+        np.testing.assert_array_equal(idx["features"][:5], oracle)
+        np.testing.assert_allclose(idx["features"][5:], new, rtol=1e-6)
+        resp = c.save(out=tmp_path / "grown.npz")
+        assert resp["n"] == 7
+        np.testing.assert_array_equal(
+            np.load(tmp_path / "grown.npz")["features"], idx["features"])
+
+        # error mapping: daemon-side failures raise ServeError with the
+        # op attributed; the connection survives for the next request
+        with pytest.raises(ServeError, match="21 total items") as e:
+            c.rank(gclips[[0]], rerank=True)  # 1 + 7 < k1 + 1
+        assert e.value.op == "rank"
+        with pytest.raises(ServeError, match="clips shaped"):
+            c.rank(np.zeros((1, 2, 16, 16, 3), np.uint8))
+        with pytest.raises(ValueError, match="exactly one"):
+            c.add()
+
+        stats = c.stats()
+        assert stats["ops"]["rank"]["errors"] == 2
+        assert stats["ops"]["describe"]["n"] == 2
+
+        c.shutdown()
+        assert c._closed
+        with pytest.raises(ServeError, match="closed"):
+            c.ping()
+    t.join(timeout=120)
+    assert not t.is_alive()
+
+
+def test_client_spawn_lifecycle(artifact, tmp_path):
+    """spawn() owns the daemon subprocess over stdin/stdout pipes:
+    requests answer, close() shuts it down politely and reaps it (exit
+    0). The wrapper script stands in for the `command=` production knob
+    (here: pinning the CPU platform — the axon plugin ignores
+    JAX_PLATFORMS)."""
+    repo_root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    wrapper = tmp_path / "serve_cpu.py"
+    wrapper.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repo_root!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from grl_tpu.cli.extract import build_parser, main\n"
+        # swallow main()'s API return (a served-request count) like the
+        # cli() console-script entry does — it is not an exit code
+        "main(build_parser().parse_args(sys.argv[1:]))\n"
+    )
+    with ServeClient.spawn(
+        artifact["model"], gallery=artifact["gallery"], topk=2,
+        command=[sys.executable, str(wrapper)], stderr=subprocess.DEVNULL,
+    ) as c:
+        assert c.ping()["gallery"] == 5
+        got = c.describe(artifact["gclips"][:2])
+        np.testing.assert_array_equal(
+            got["features"], np.load(artifact["gallery"])["features"][:2])
+        proc = c._proc
+    assert proc.returncode == 0  # polite shutdown + reaped by close()
+
+
+def test_client_transport_loss(artifact, tmp_path):
+    """A daemon that vanishes mid-conversation surfaces as ServeError,
+    not a hang or a raw EOF crash."""
+    with _daemon_over_unix(artifact, tmp_path) as (sock, t):
+        c = ServeClient.connect(f"unix:{sock}", timeout=120)
+        assert c.ping()["ok"]
+        # another client stops the daemon; this one's next request gets EOF
+        ServeClient.connect(f"unix:{sock}", timeout=120).shutdown()
+        t.join(timeout=120)
+        with pytest.raises(ServeError,
+                           match="closed the connection|transport lost"):
+            c.ping()
+        c.close()
