@@ -405,6 +405,11 @@ def serve(args, inp=None, out=None):
     have no shared filesystem. ``grl_tpu.client.ServeClient`` wraps the
     whole protocol with a numpy-in/numpy-out API.
 
+    ``rank`` queries with raw ``clips`` (descriptor program + similarity
+    + top-k fused on device) or with precomputed ``features`` (skips the
+    CNN pass — e.g. descriptors from a prior describe); both take
+    ``"rerank": true``.
+
     The index seeds from --gallery and grows in place: ``add`` enrolls new
     descriptors (raw clips are described first) up to --capacity — the
     device buffer is capacity-padded and rank masks rows past the valid
@@ -433,7 +438,7 @@ def serve(args, inp=None, out=None):
     out = out if out is not None else sys.stdout
 
     call, meta, raw_call = _load_artifact(args.model)
-    idx = rank_topk = None
+    idx = rank_topk = rank_topk_feats = None
     rerank_unavailable, q_pad = "rank needs serve --gallery or --capacity", 0
     rr_staged, rr_mesh = False, None
     ADD_BLOCK = 256  # fixed enrollment granularity: one compiled update
@@ -512,6 +517,18 @@ def serve(args, inp=None, out=None):
         )
         def rank_topk(chunk, gf, n_valid):
             qf = raw_call(chunk).astype(jnp.float32)
+            sim = jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
+            cols = jnp.arange(gf.shape[0])[None, :]
+            sim = jnp.where(cols < n_valid, sim, -jnp.inf)
+            return jax.lax.top_k(sim, k_max)
+
+        @jax.jit
+        def rank_topk_feats(qf, gf, n_valid):
+            # rank PRECOMPUTED descriptors: the same masked similarity
+            # top-k minus the descriptor program — a client that already
+            # holds features (a prior describe, a saved index) skips the
+            # CNN pass entirely. Chunked to the artifact batch width like
+            # the clips path, so request sizes never recompile.
             sim = jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
             cols = jnp.arange(gf.shape[0])[None, :]
             sim = jnp.where(cols < n_valid, sim, -jnp.inf)
@@ -631,7 +648,14 @@ def serve(args, inp=None, out=None):
             n_q, n, interpret=rr_interpret,
         )
 
-    def rank_reranked(clips, topk):
+    def describe_feats(clips):
+        """Raw clips -> (n, dim) float32 descriptors via the artifact."""
+        return np.concatenate(
+            [np.asarray(call(c))[:sz]
+             for c, sz in _artifact_chunks(clips, meta["batch"])]
+        ).astype(np.float32)
+
+    def rank_reranked(feats, topk):
         """k-reciprocal re-ranked retrieval (the `rank --rerank` math)
         against the resident index, compiled ONCE: queries are padded to
         the fixed --rerank-queries width and the masked builders take the
@@ -640,7 +664,7 @@ def serve(args, inp=None, out=None):
         -distance on the blended Jaccard/original scale — ordinal only,
         not comparable to plain rank similarities."""
         n = idx["n"]
-        n_q = clips.shape[0]
+        n_q = feats.shape[0]
         if n_q + n < 21:  # k1 + 1: below this the padded top-k clamps
             raise ValueError(  # diverge from the reference's math
                 "rerank needs >= 21 total items (k1=20) — enroll more or "
@@ -652,10 +676,6 @@ def serve(args, inp=None, out=None):
                 f"compiled query width is {q_pad} — restart with "
                 f"--rerank-queries {n_q} or use 'extract rank --rerank'"
             )
-        feats = np.concatenate(
-            [np.asarray(call(c))[:sz]
-             for c, sz in _artifact_chunks(clips, meta["batch"])]
-        ).astype(np.float32)
         qf = np.zeros((q_pad, feats.shape[1]), np.float32)
         qf[:n_q] = feats
         dist = rerank_dist(jnp.asarray(qf), n_q)
@@ -759,25 +779,45 @@ def serve(args, inp=None, out=None):
                 raise ValueError(rerank_unavailable)  # config error first
             if idx["n"] == 0:
                 raise ValueError("index is empty — enroll with add first")
-            src = _load_npz_any(req["clips"])
-            clips = src["clips"]
-            _check_clips(clips, meta)
+            if ("features" in req) == ("clips" in req):
+                raise ValueError(
+                    "rank takes exactly one of 'clips' (raw frames) / "
+                    "'features' (precomputed descriptors)")
             topk = int(req.get("topk", args.topk))
             if topk < 1:
                 raise ValueError("topk must be >= 1")
             topk = min(topk, k_max, idx["n"])
-            if req.get("rerank"):
-                return rank_reranked(clips, topk)
+            if "features" in req:
+                # precomputed descriptors: skip the CNN pass
+                src = _load_npz_any(req["features"])
+                qf = np.asarray(src["features"], np.float32)
+                if qf.ndim != 2 or qf.shape[1] != meta["dim"]:
+                    raise ValueError(
+                        f"rank features shaped {qf.shape}, need "
+                        f"(n, {meta['dim']})")
+                if qf.shape[0] == 0:
+                    raise ValueError("rank features array is empty")
+                if req.get("rerank"):
+                    return rank_reranked(qf, topk)
+                top_of = lambda chunk: rank_topk_feats(  # noqa: E731
+                    chunk, idx["gf"], np.int32(idx["n"]))
+                chunks = _artifact_chunks(qf, meta["batch"])
+            else:
+                src = _load_npz_any(req["clips"])
+                clips = src["clips"]
+                _check_clips(clips, meta)
+                if req.get("rerank"):
+                    return rank_reranked(describe_feats(clips), topk)
+                top_of = lambda chunk: rank_topk(  # noqa: E731
+                    chunk, idx["gf"], np.int32(idx["n"]))
+                chunks = _artifact_chunks(clips, meta["batch"])
             results = []
-            for ci, (chunk, size) in enumerate(
-                _artifact_chunks(clips, meta["batch"])
-            ):
+            for ci, (chunk, size) in enumerate(chunks):
                 base = ci * meta["batch"]
                 # scores: cosine similarity of the 6144-d descriptor
                 # (3 L2-normed blocks -> range [-3, 3]); same convention
                 # as the rank subcommand's score
-                scores, order = rank_topk(chunk, idx["gf"],
-                                          np.int32(idx["n"]))
+                scores, order = top_of(chunk)
                 scores = np.asarray(scores)[:size]
                 order = np.asarray(order)[:size]
                 results.extend(
@@ -800,6 +840,9 @@ def serve(args, inp=None, out=None):
         if idx is not None:
             n1 = np.int32(max(idx["n"], 1))
             float(rank_topk(dummy, idx["gf"], n1)[0][0, 0])
+            float(rank_topk_feats(
+                jnp.zeros((meta["batch"], meta["dim"]), jnp.float32),
+                idx["gf"], n1)[0][0, 0])
             # enrollment update: writing zeros at offset n touches only
             # the invalid region (rows >= n are zeros already)
             idx["gf"] = gf_update(

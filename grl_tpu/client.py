@@ -193,15 +193,23 @@ class ServeClient:
             return self.request("describe", clips=spec, out=str(out))
         return _decode_npz(self.request("describe", clips=spec)["npz_b64"])
 
-    def rank(self, clips, *, topk=None, rerank=False):
-        """Rank query clips against the daemon's resident index.
+    def rank(self, clips=None, *, features=None, topk=None, rerank=False):
+        """Rank queries against the daemon's resident index: raw
+        ``clips`` (described on device first) or precomputed
+        ``features`` (a (n, dim) float32 array / daemon-side npz path —
+        skips the CNN pass).
 
         Returns the response dict: ``results`` is one record per query
         — ``{"query": i, "matches": [{"gallery", "pid", "camid",
         "score"}, ...]}`` — plus ``reranked``/``warning`` when
         k-reciprocal re-ranking ran (rerank scores are ordinal only; see
         the serve docstring)."""
-        fields = {"clips": _operand(clips, "clips")}
+        if (clips is None) == (features is None):
+            raise ValueError("rank takes exactly one of clips / features=")
+        if clips is not None:
+            fields = {"clips": _operand(clips, "clips")}
+        else:
+            fields = {"features": _operand(features, "features")}
         if topk is not None:
             fields["topk"] = int(topk)
         if rerank:

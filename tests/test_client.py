@@ -213,3 +213,52 @@ def test_client_transport_loss(artifact, tmp_path):
                            match="closed the connection|transport lost"):
             c.ping()
         c.close()
+
+
+def test_client_rank_by_features(artifact, tmp_path):
+    """rank(features=...) skips the CNN pass but must retrieve exactly
+    what rank(clips) does — plain AND re-ranked routes — since the
+    descriptors it takes are the same program's output. Geometry sized
+    past the rerank degeneracy floor (>= 21 total items)."""
+    gclips = artifact["gclips"]
+    rng = np.random.RandomState(3)
+    qclips = rng.randint(0, 256, (3, 2, 64, 32, 3), np.uint8)
+
+    with _daemon_over_unix(
+        artifact, tmp_path, extra=("--capacity", "40"),
+    ) as (sock, t), ServeClient.connect(f"unix:{sock}", timeout=600) as c:
+        dim = c.ping()["dim"]
+        # enroll synthetic descriptors up to rerank-viable scale
+        extra = rng.standard_normal((20, dim)).astype(np.float32)
+        assert c.add(features=extra)["gallery"] == 25
+
+        qf = c.describe(qclips)["features"]
+
+        by_clips = c.rank(qclips, topk=5)["results"]
+        by_feats = c.rank(features=qf, topk=5)["results"]
+        for a, b in zip(by_clips, by_feats):
+            assert [m["gallery"] for m in a["matches"]] == \
+                   [m["gallery"] for m in b["matches"]]
+            for ma, mb in zip(a["matches"], b["matches"]):
+                assert ma["score"] == pytest.approx(mb["score"], abs=1e-4)
+
+        rr_clips = c.rank(qclips, topk=5, rerank=True)
+        rr_feats = c.rank(features=qf, topk=5, rerank=True)
+        assert rr_clips["reranked"] and rr_feats["reranked"]
+        for a, b in zip(rr_clips["results"], rr_feats["results"]):
+            assert [m["gallery"] for m in a["matches"]] == \
+                   [m["gallery"] for m in b["matches"]]
+            for ma, mb in zip(a["matches"], b["matches"]):
+                assert ma["score"] == pytest.approx(mb["score"], abs=1e-4)
+
+        # operand validation, client- and daemon-side
+        with pytest.raises(ValueError, match="exactly one"):
+            c.rank(qclips, features=qf)
+        with pytest.raises(ValueError, match="exactly one"):
+            c.rank()
+        with pytest.raises(ServeError, match="features shaped") as e:
+            c.rank(features=qf[:, : dim // 2])
+        assert e.value.op == "rank"
+        with pytest.raises(ServeError, match="empty"):
+            c.rank(features=np.zeros((0, dim), np.float32))
+        c.shutdown()
