@@ -65,6 +65,80 @@ def test_sharded_step_matches_single_device():
     )
 
 
+def test_sharded_multistep_divergence_is_reduction_noise():
+    """MULTI-STEP SPMD equivalence, noise-calibrated. An elementwise
+    multi-step comparison is provably meaningless here: SGD chaotically
+    amplifies fp reduction-order noise (measured ~1.5-40x/step on this
+    model), so ANY reassociation of the batch reductions — benign or
+    buggy — diverges to O(1) within a few steps. Instead, calibrate the
+    noise floor with a mathematically-IDENTICAL single-device control:
+    the same fixed batches with the (anchor, positive) PAIRS permuted,
+    which changes only the fp summation order of the batch reductions
+    (BN stats, loss means, gradient sums — every loss term and the OIM
+    per-id update sequences are pair-permutation-invariant with distinct
+    pids per pair). The 4-device mesh trajectory must then diverge from
+    the single-device one NO FASTER than that control does at every
+    step: a semantic SPMD bug (wrong psum denominator, missing
+    collective, shard-local BN stats) would blow the ratio by orders of
+    magnitude at step 1, while reduction-order noise keeps it near 1
+    (measured max ratio 1.7 over 6 steps; asserted at 100x)."""
+    cnn, sia, unc = tiny_models()
+    opt = SGD()
+    ts0 = init_train_state(jax.random.PRNGKey(0), cnn, sia, unc, 4,
+                           cnn.num_feat, opt)
+    step = make_train_step(cnn, sia, unc, opt, donate=False)
+
+    rng = np.random.RandomState(0)
+    batches = [
+        (rng.randn(8, 2, 32, 16, 3).astype(np.float32),
+         np.repeat(np.arange(4), 2).astype(np.int32))
+        for _ in range(2)
+    ]
+    # permute PAIRS (anchors stay adjacent to their positives, so the
+    # pair-interleaved layout and all within-id orderings are preserved)
+    perm = np.array([2, 0, 3, 1])
+    idx = np.stack([2 * perm, 2 * perm + 1], 1).reshape(-1)
+
+    def dmax(a, b):
+        """Largest per-element divergence, floored at atol 1e-6 so
+        noise on zero-init leaves (|param| ~ 1e-10) doesn't dominate."""
+        out = 0.0
+        for x, y in zip(jax.tree.leaves(a["params"]),
+                        jax.tree.leaves(b["params"])):
+            x, y = np.asarray(x), np.asarray(y)
+            out = max(out, float(np.max(np.abs(x - y) / (1e-6 + np.abs(x)))))
+        return out
+
+    mesh = data_mesh(4)
+    tsA, tsB, tsC = ts0, ts0, replicate(ts0, mesh)
+    for t in range(1, 7):
+        clips, pids = batches[(t - 1) % 2]
+        tsA, mA = step(tsA, jnp.asarray(clips), jnp.asarray(pids), 1e-3)
+        tsB, mB = step(tsB, jnp.asarray(clips[idx]), jnp.asarray(pids[idx]),
+                       1e-3)
+        tsC, mC = step(tsC, shard_batch(jnp.asarray(clips), mesh),
+                       shard_batch(jnp.asarray(pids), mesh), 1e-3)
+        d_perm, d_mesh = dmax(tsA, tsB), dmax(tsA, tsC)
+        assert d_mesh <= 100 * max(d_perm, 1e-4), (
+            f"step {t}: mesh diverges {d_mesh:.3e} vs the benign "
+            f"reassociation control's {d_perm:.3e} — an SPMD semantics "
+            "bug, not reduction-order noise"
+        )
+        loss = abs(float(mA["loss"]))
+        dl_perm = abs(float(mA["loss"]) - float(mB["loss"]))
+        dl_mesh = abs(float(mA["loss"]) - float(mC["loss"]))
+        assert dl_mesh <= 100 * max(dl_perm, 1e-3 * loss), (
+            f"step {t}: mesh loss off by {dl_mesh:.3e} vs control "
+            f"{dl_perm:.3e} (loss {loss:.3f})"
+        )
+        if t == 1:  # semantics are TIGHT before any amplification
+            assert dl_mesh <= 1e-4 * loss
+            for a, b in zip(jax.tree.leaves(tsA["params"]),
+                            jax.tree.leaves(tsC["params"])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-3, atol=1e-5)
+
+
 def test_batchnorm_global_stats_under_sharding():
     """BN inside a jitted step sees GLOBAL batch statistics when the batch
     axis is sharded (XLA inserts the collective) — the semantics nn/norm.py
