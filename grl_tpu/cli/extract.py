@@ -27,6 +27,7 @@ junk-filter — it is retrieval, not CMC.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import os.path as osp
@@ -301,6 +302,104 @@ def _artifact_chunks(clips, batch):
         yield chunk, size
 
 
+class _DescribeCoalescer:
+    """Cross-request descriptor batching for the serve daemon.
+
+    Concurrent connections' clips pack into shared device dispatches of
+    the artifact's compiled batch width — the classic serving batcher,
+    with no timers and no background thread: whichever waiter takes the
+    device lock first leads a dispatch, draining queued work FIFO up to
+    the batch width; everyone else either sees their rows arrive or
+    leads the next dispatch. A lone request therefore dispatches
+    immediately with exactly the sequential path's chunking/padding
+    (bit-identical results, zero added latency when idle); under
+    concurrent load, small requests share MXU batches instead of each
+    paying a padded dispatch. No reference analogue (the reference
+    serves nothing); the packing idea is standard inference-server
+    continuous batching.
+    """
+
+    def __init__(self, call, batch):
+        import threading
+
+        self._call, self._batch = call, batch
+        self._q = []
+        self._qlock = threading.Lock()
+        self._device = threading.Lock()
+        # observability (reported by the daemon's stats op)
+        self.dispatches = 0   # device calls issued
+        self.clips = 0        # valid clips described
+        self.packed = 0       # dispatches carrying >1 waiter's clips
+
+    def describe(self, clips):
+        """(n, S, H, W, C) uint8 -> (n, dim) float32 descriptors."""
+        import threading
+
+        items = [
+            {"clips": clips[i : i + self._batch],
+             "done": threading.Event(), "out": None, "err": None}
+            for i in range(0, clips.shape[0], self._batch)
+        ]
+        with self._qlock:
+            self._q.extend(items)
+        for item in items:
+            while not item["done"].is_set():
+                # lead a dispatch (of the FIFO head, not necessarily of
+                # this item) or wait for one to finish
+                if self._device.acquire(timeout=0.05):
+                    try:
+                        if not item["done"].is_set():
+                            self._lead()
+                    finally:
+                        self._device.release()
+        for item in items:
+            if item["err"] is not None:
+                raise item["err"]
+        return np.concatenate([item["out"] for item in items])
+
+    def _lead(self):
+        """One dispatch: drain the FIFO head up to the batch width.
+        Caller holds the device lock."""
+        with self._qlock:
+            take, used = [], 0
+            while self._q and used + self._q[0]["clips"].shape[0] <= self._batch:
+                item = self._q.pop(0)
+                take.append(item)
+                used += item["clips"].shape[0]
+        if not take:
+            return
+        chunk = np.concatenate(
+            [item["clips"] for item in take]
+            + ([np.zeros((self._batch - used,) + take[0]["clips"].shape[1:],
+                         take[0]["clips"].dtype)]
+               if used < self._batch else [])
+        )
+        try:
+            feats = np.asarray(self._call(chunk)).astype(np.float32)
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for item in take:
+                item["err"] = e
+                item["done"].set()
+            return
+        off = 0
+        for item in take:
+            k = item["clips"].shape[0]
+            item["out"] = feats[off : off + k]
+            off += k
+        with self._qlock:
+            self.dispatches += 1
+            self.clips += used
+            self.packed += len(take) > 1
+        for item in take:
+            item["done"].set()
+
+    def snapshot(self):
+        """Packing counters for the daemon's stats op."""
+        with self._qlock:
+            return {"dispatches": self.dispatches, "clips": self.clips,
+                    "packed": self.packed}
+
+
 def _load_npz_any(spec):
     """An npz operand in a daemon request: a filesystem path string (the
     shared-filesystem handoff, the default) or an inline payload
@@ -331,20 +430,27 @@ def _npz_b64(payload):
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
-def _describe_payload(call, meta, clips_src):
+def _describe_chunked(call, meta, clips):
+    """Sequential describe: clips -> (n, dim) float32 via fixed-width
+    padded chunks of the artifact's compiled batch."""
+    return np.concatenate(
+        [np.asarray(call(chunk))[:size]
+         for chunk, size in _artifact_chunks(clips, meta["batch"])]
+    ).astype(np.float32)
+
+
+def _describe_payload(describe_fn, meta, clips_src):
     """Clips npz (``clips`` (n, S, h, w, c) uint8, optional ``pids``/
     ``camids`` passthrough) -> descriptor payload dict.
 
     The single assembly used by the one-shot ``describe`` subcommand and
-    the daemon's describe op (pinned bit-for-bit equal in CI)."""
+    the daemon's describe op (pinned bit-for-bit equal in CI);
+    ``describe_fn`` is the sequential chunked path or the daemon's
+    cross-request coalescer (identical chunking when uncontended)."""
     src = _load_npz_any(clips_src)
     clips = src["clips"]
     _check_clips(clips, meta)
-    feats = np.concatenate(
-        [np.asarray(call(chunk))[:size]
-         for chunk, size in _artifact_chunks(clips, meta["batch"])]
-    ).astype(np.float32)
-    payload = {"features": feats}
+    payload = {"features": describe_fn(clips)}
     for k in ("pids", "camids"):
         if k in src.files:
             payload[k] = src[k]
@@ -352,7 +458,8 @@ def _describe_payload(call, meta, clips_src):
 
 
 def _describe_to_npz(call, meta, clips_path, out_path):
-    payload = _describe_payload(call, meta, clips_path)
+    payload = _describe_payload(
+        functools.partial(_describe_chunked, call, meta), meta, clips_path)
     np.savez(out_path, **payload)
     return payload["features"]
 
@@ -395,8 +502,7 @@ def serve(args, inp=None, out=None):
     pids/camids passthrough, file-based handoff so clip tensors never ride
     the protocol channel); ``rank`` describes the clips and answers inline
     with the ``rank`` subcommand's match schema against the resident index
-    (features device-resident, similarities + top-k on device; only the
-    (batch, topk) winners cross the host boundary).
+    (gallery features device-resident; similarities + top-k on device).
 
     Every npz operand (``clips``/``features``) also accepts an INLINE
     payload ``{"npz_b64": <base64 of the npz bytes>}`` in place of the
@@ -405,10 +511,17 @@ def serve(args, inp=None, out=None):
     have no shared filesystem. ``grl_tpu.client.ServeClient`` wraps the
     whole protocol with a numpy-in/numpy-out API.
 
-    ``rank`` queries with raw ``clips`` (descriptor program + similarity
-    + top-k fused on device) or with precomputed ``features`` (skips the
-    CNN pass — e.g. descriptors from a prior describe); both take
-    ``"rerank": true``.
+    ``rank`` queries with raw ``clips`` or with precomputed ``features``
+    (skips the CNN pass — e.g. descriptors from a prior describe); both
+    take ``"rerank": true``.
+
+    Concurrency: connections are served by one thread each; clip
+    description (describe/add/rank operands) runs through a cross-request
+    coalescer that packs concurrent clips into shared device dispatches
+    of the artifact's batch width (zero added latency when idle —
+    sequential-identical chunking), while index reads/writes and the
+    similarity/rerank programs serialize on one lock. ``stats`` reports
+    the packing counters under ``describe_batching``.
 
     The index seeds from --gallery and grows in place: ``add`` enrolls new
     descriptors (raw clips are described first) up to --capacity — the
@@ -437,8 +550,12 @@ def serve(args, inp=None, out=None):
     inp = inp if inp is not None else sys.stdin
     out = out if out is not None else sys.stdout
 
-    call, meta, raw_call = _load_artifact(args.model)
-    idx = rank_topk = rank_topk_feats = None
+    call, meta, _ = _load_artifact(args.model)
+    # every clip-describe site (describe/add/rank) funnels through the
+    # coalescer: concurrent connections' clips share device dispatches;
+    # uncontended it chunks exactly like the sequential path
+    coalescer = _DescribeCoalescer(call, meta["batch"])
+    idx = rank_topk_feats = None
     rerank_unavailable, q_pad = "rank needs serve --gallery or --capacity", 0
     rr_staged, rr_mesh = False, None
     ADD_BLOCK = 256  # fixed enrollment granularity: one compiled update
@@ -503,32 +620,15 @@ def serve(args, inp=None, out=None):
         # gallery rides as an argument (a closed-over array would be baked
         # into the program as a constant); scores are the same negative-
         # cosine convention as the rank subcommand, so top-k of +similarity.
-        # Composes the RAW exported call: the jitted wrapper carries
-        # compiler options, which jax rejects on a nested jit — the options
-        # ride this top-level jit instead. Rows past the valid count are
-        # masked to -inf (the padded region is zeros, whose similarity 0
-        # would otherwise beat genuinely negative matches).
-        import functools
-
-        from ..utils.profiling import descriptor_compiler_options
-
-        @functools.partial(
-            jax.jit, compiler_options=descriptor_compiler_options()
-        )
-        def rank_topk(chunk, gf, n_valid):
-            qf = raw_call(chunk).astype(jnp.float32)
-            sim = jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
-            cols = jnp.arange(gf.shape[0])[None, :]
-            sim = jnp.where(cols < n_valid, sim, -jnp.inf)
-            return jax.lax.top_k(sim, k_max)
-
+        # Rows past the valid count are masked to -inf (the padded region
+        # is zeros, whose similarity 0 would otherwise beat genuinely
+        # negative matches). Rank queries arrive as descriptors — raw
+        # clips are described first (through the coalescer, so concurrent
+        # rank/describe requests share the CNN dispatches); either way
+        # this program is chunked to the artifact batch width, so request
+        # sizes never recompile.
         @jax.jit
         def rank_topk_feats(qf, gf, n_valid):
-            # rank PRECOMPUTED descriptors: the same masked similarity
-            # top-k minus the descriptor program — a client that already
-            # holds features (a prior describe, a saved index) skips the
-            # CNN pass entirely. Chunked to the artifact batch width like
-            # the clips path, so request sizes never recompile.
             sim = jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
             cols = jnp.arange(gf.shape[0])[None, :]
             sim = jnp.where(cols < n_valid, sim, -jnp.inf)
@@ -590,10 +690,7 @@ def serve(args, inp=None, out=None):
         else:
             clips = src["clips"]
             _check_clips(clips, meta)
-            feats = np.concatenate(
-                [np.asarray(call(c))[:sz]
-                 for c, sz in _artifact_chunks(clips, meta["batch"])]
-            ).astype(np.float32)
+            feats = coalescer.describe(clips)
         labels = {}
         for k in ("pids", "camids"):
             labels[k] = (np.asarray(src[k], np.int64) if k in src.files
@@ -647,13 +744,6 @@ def serve(args, inp=None, out=None):
             cosine_distance(qf, idx["gf"]), _euclidean(qf, qf), idx["gg"],
             n_q, n, interpret=rr_interpret,
         )
-
-    def describe_feats(clips):
-        """Raw clips -> (n, dim) float32 descriptors via the artifact."""
-        return np.concatenate(
-            [np.asarray(call(c))[:sz]
-             for c, sz in _artifact_chunks(clips, meta["batch"])]
-        ).astype(np.float32)
 
     def rank_reranked(feats, topk):
         """k-reciprocal re-ranked retrieval (the `rank --rerank` math)
@@ -732,53 +822,59 @@ def serve(args, inp=None, out=None):
                            "ms_max": s["ms_max"]}
                     for name, s in stats.items()
                 }
-            return {"ok": True, "op": "stats", "ops": ops,
+            resp = {"ok": True, "op": "stats", "ops": ops,
                     "uptime_s": round(time.time() - lifecycle["t0"], 1),
                     "gallery": idx["n"] if idx is not None else 0}
+            resp["describe_batching"] = coalescer.snapshot()
+            return resp
         if op == "shutdown":
             return {"ok": True, "op": "shutdown"}
         if op == "describe":
-            if req.get("out"):
-                feats = _describe_to_npz(call, meta, req["clips"],
-                                         req["out"])
-                return {"ok": True, "op": "describe",
-                        "n": int(feats.shape[0]),
-                        "dim": int(feats.shape[1]), "out": req["out"]}
-            # no "out": answer inline (remote clients have no shared
-            # filesystem to hand the descriptor npz back through)
-            payload = _describe_payload(call, meta, req["clips"])
+            # no index state touched: describes run concurrently, the
+            # coalescer packs them into shared device dispatches
+            payload = _describe_payload(coalescer.describe, meta,
+                                        req["clips"])
             feats = payload["features"]
-            return {"ok": True, "op": "describe", "n": int(feats.shape[0]),
-                    "dim": int(feats.shape[1]),
-                    "npz_b64": _npz_b64(payload)}
+            resp = {"ok": True, "op": "describe", "n": int(feats.shape[0]),
+                    "dim": int(feats.shape[1])}
+            if req.get("out"):
+                np.savez(req["out"], **payload)
+                resp["out"] = req["out"]
+            else:
+                # no "out": answer inline (remote clients have no shared
+                # filesystem to hand the descriptor npz back through)
+                resp["npz_b64"] = _npz_b64(payload)
+            return resp
         if op == "add":
             if idx is None:
                 raise ValueError("add needs serve --gallery or --capacity")
             if not ("features" in req or "clips" in req):
                 raise ValueError("add needs a 'features' or 'clips' npz path")
-            feats, pids, camids = load_add_features(req)
-            enroll(feats, pids, camids)
-            return {"ok": True, "op": "add", "added": int(feats.shape[0]),
-                    "gallery": idx["n"], "capacity": idx["capacity"]}
+            feats, pids, camids = load_add_features(req)  # describe: no lock
+            with lifecycle["handle"]:
+                enroll(feats, pids, camids)
+                return {"ok": True, "op": "add",
+                        "added": int(feats.shape[0]),
+                        "gallery": idx["n"], "capacity": idx["capacity"]}
         if op == "save":
             if idx is None:
                 raise ValueError("save needs serve --gallery or --capacity")
-            payload = {"features": np.asarray(idx["gf"])[: idx["n"]],
-                       "pids": idx["pids"], "camids": idx["camids"]}
+            with lifecycle["handle"]:  # consistent (gf, n, labels) snapshot
+                payload = {"features": np.asarray(idx["gf"])[: idx["n"]],
+                           "pids": idx["pids"], "camids": idx["camids"]}
+                n = idx["n"]
             if req.get("out"):
                 np.savez(req["out"], **payload)
-                return {"ok": True, "op": "save", "n": idx["n"],
+                return {"ok": True, "op": "save", "n": n,
                         "out": req["out"]}
             # no "out": ship the index inline (remote clients)
-            return {"ok": True, "op": "save", "n": idx["n"],
+            return {"ok": True, "op": "save", "n": n,
                     "npz_b64": _npz_b64(payload)}
         if op == "rank":
             if idx is None:
                 raise ValueError("rank needs serve --gallery or --capacity")
             if req.get("rerank") and rerank_unavailable:
                 raise ValueError(rerank_unavailable)  # config error first
-            if idx["n"] == 0:
-                raise ValueError("index is empty — enroll with add first")
             if ("features" in req) == ("clips" in req):
                 raise ValueError(
                     "rank takes exactly one of 'clips' (raw frames) / "
@@ -786,9 +882,10 @@ def serve(args, inp=None, out=None):
             topk = int(req.get("topk", args.topk))
             if topk < 1:
                 raise ValueError("topk must be >= 1")
-            topk = min(topk, k_max, idx["n"])
+            if idx["n"] == 0:  # early + cheap; re-checked under the lock
+                raise ValueError("index is empty — enroll with add first")
             if "features" in req:
-                # precomputed descriptors: skip the CNN pass
+                # precomputed descriptors: the CNN pass is skipped
                 src = _load_npz_any(req["features"])
                 qf = np.asarray(src["features"], np.float32)
                 if qf.ndim != 2 or qf.shape[1] != meta["dim"]:
@@ -797,35 +894,39 @@ def serve(args, inp=None, out=None):
                         f"(n, {meta['dim']})")
                 if qf.shape[0] == 0:
                     raise ValueError("rank features array is empty")
-                if req.get("rerank"):
-                    return rank_reranked(qf, topk)
-                top_of = lambda chunk: rank_topk_feats(  # noqa: E731
-                    chunk, idx["gf"], np.int32(idx["n"]))
-                chunks = _artifact_chunks(qf, meta["batch"])
             else:
                 src = _load_npz_any(req["clips"])
                 clips = src["clips"]
                 _check_clips(clips, meta)
+                # raw clips describe OUTSIDE the index lock, through the
+                # coalescer — concurrent rank/describe/add requests share
+                # the CNN dispatches
+                qf = coalescer.describe(clips)
+            with lifecycle["handle"]:  # index reads + similarity program
+                if idx["n"] == 0:
+                    raise ValueError(
+                        "index is empty — enroll with add first")
+                topk = min(topk, k_max, idx["n"])
                 if req.get("rerank"):
-                    return rank_reranked(describe_feats(clips), topk)
-                top_of = lambda chunk: rank_topk(  # noqa: E731
-                    chunk, idx["gf"], np.int32(idx["n"]))
-                chunks = _artifact_chunks(clips, meta["batch"])
-            results = []
-            for ci, (chunk, size) in enumerate(chunks):
-                base = ci * meta["batch"]
-                # scores: cosine similarity of the 6144-d descriptor
-                # (3 L2-normed blocks -> range [-3, 3]); same convention
-                # as the rank subcommand's score
-                scores, order = top_of(chunk)
-                scores = np.asarray(scores)[:size]
-                order = np.asarray(order)[:size]
-                results.extend(
-                    {"query": base + r,
-                     "matches": matches_of(order[r], scores[r], topk)}
-                    for r in range(size)
-                )
-            return {"ok": True, "op": "rank", "results": results}
+                    return rank_reranked(qf, topk)
+                results = []
+                for ci, (chunk, size) in enumerate(
+                    _artifact_chunks(qf, meta["batch"])
+                ):
+                    base = ci * meta["batch"]
+                    # scores: cosine similarity of the 6144-d descriptor
+                    # (3 L2-normed blocks -> range [-3, 3]); same
+                    # convention as the rank subcommand's score
+                    scores, order = rank_topk_feats(chunk, idx["gf"],
+                                                    np.int32(idx["n"]))
+                    scores = np.asarray(scores)[:size]
+                    order = np.asarray(order)[:size]
+                    results.extend(
+                        {"query": base + r,
+                         "matches": matches_of(order[r], scores[r], topk)}
+                        for r in range(size)
+                    )
+                return {"ok": True, "op": "rank", "results": results}
         raise ValueError(f"unknown op {op!r}")
 
     if getattr(args, "warmup", False):
@@ -839,7 +940,6 @@ def serve(args, inp=None, out=None):
         float(call(dummy)[0, 0])  # descriptor program
         if idx is not None:
             n1 = np.int32(max(idx["n"], 1))
-            float(rank_topk(dummy, idx["gf"], n1)[0][0, 0])
             float(rank_topk_feats(
                 jnp.zeros((meta["batch"], meta["dim"]), jnp.float32),
                 idx["gf"], n1)[0][0, 0])
@@ -941,8 +1041,10 @@ def serve(args, inp=None, out=None):
             req = None
             try:
                 req = json.loads(line)
-                with lifecycle["handle"]:  # one device, one request at a time
-                    resp = handle(req)
+                # locking is per-op inside handle(): index state rides
+                # lifecycle["handle"], clip description runs concurrently
+                # through the coalescer (shared device dispatches)
+                resp = handle(req)
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
                 if isinstance(req, dict):  # attribute the error to its op
@@ -979,10 +1081,10 @@ def serve(args, inp=None, out=None):
             n, _ = serve_lines(inp, out)
             return n
 
-        # socket mode: clients connect and disconnect freely (sequential —
-        # one device, one request at a time); {"op": "shutdown"} from any
-        # client stops the DAEMON. TCP binds are for trusted networks
-        # (no auth on the protocol); unix:PATH scopes by filesystem perms.
+        # socket mode: clients connect and disconnect freely;
+        # {"op": "shutdown"} from any client stops the DAEMON. TCP binds
+        # are for trusted networks (no auth on the protocol); unix:PATH
+        # scopes by filesystem perms.
         if args.listen.startswith("unix:"):
             path = args.listen[5:]
             try:
@@ -1006,8 +1108,9 @@ def serve(args, inp=None, out=None):
 
         def conversation(conn):
             # one thread per connected client: an idle client must not
-            # block other clients' requests (device work itself is
-            # serialized by lifecycle["handle"] inside serve_lines)
+            # block other clients' requests (index state serializes on
+            # lifecycle["handle"] inside handle(); clip description
+            # coalesces across clients into shared device dispatches)
             stopped = False
             with conn:
                 try:

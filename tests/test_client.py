@@ -262,3 +262,54 @@ def test_client_rank_by_features(artifact, tmp_path):
         with pytest.raises(ServeError, match="empty"):
             c.rank(features=np.zeros((0, dim), np.float32))
         c.shutdown()
+
+
+def test_client_concurrent_requests_coalesce(artifact, tmp_path):
+    """Concurrent clients' describe/rank requests must return exactly
+    the sequential answers (per-request routing through the shared
+    dispatches is invisible), and the daemon must account all clips in
+    the describe_batching counters. Packing itself is timing-dependent
+    on 1 core, so it is asserted deterministically in
+    test_serve_coalescer.py; here `packed` merely rides along."""
+    import threading
+
+    gclips = artifact["gclips"]
+
+    with _daemon_over_unix(artifact, tmp_path) as (sock, t):
+        with ServeClient.connect(f"unix:{sock}", timeout=600) as c0:
+            want_desc = [c0.describe(gclips[[i]])["features"]
+                         for i in range(5)]
+            want_rank = [
+                [m["gallery"]
+                 for m in c0.rank(gclips[[i]], topk=3)["results"][0]["matches"]]
+                for i in range(5)
+            ]
+            base_clips = c0.stats()["describe_batching"]["clips"]
+
+        got = {}
+
+        def worker(i):
+            with ServeClient.connect(f"unix:{sock}", timeout=600) as c:
+                feats = c.describe(gclips[[i]])["features"]
+                hits = [m["gallery"] for m in
+                        c.rank(gclips[[i]], topk=3)["results"][0]["matches"]]
+                got[i] = (feats, hits)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(5)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not any(th.is_alive() for th in threads)
+
+        for i in range(5):
+            np.testing.assert_array_equal(got[i][0], want_desc[i])
+            assert got[i][1] == want_rank[i]
+
+        with ServeClient.connect(f"unix:{sock}", timeout=600) as c0:
+            snap = c0.stats()["describe_batching"]
+            # 10 more clips described since the sequential pass
+            # (5 describe + 5 rank-by-clips), regardless of packing
+            assert snap["clips"] == base_clips + 10
+            c0.shutdown()
