@@ -795,6 +795,12 @@ def serve(args, inp=None, out=None):
             return {
                 "ok": True, "op": "ping", "dim": meta["dim"],
                 "batch": meta["batch"],
+                # clip geometry: a remote client (inline-npz transport,
+                # no shared filesystem) has no other way to learn the
+                # shape the artifact was exported for
+                "seq_len": meta["seq_len"], "height": meta["height"],
+                "width": meta["width"], "channels": meta["channels"],
+                "platform": jax.default_backend(),
                 "gallery": idx["n"] if idx is not None else 0,
                 "capacity": idx["capacity"] if idx is not None else 0,
                 # client discoverability: whether rerank requests can

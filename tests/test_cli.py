@@ -563,7 +563,9 @@ def test_extract_serve_loop(tmp_path):
     assert all("ms" in r for r in resps)
 
     assert ping == {"ok": True, "op": "ping", "dim": desc["dim"],
-                    "batch": 4, "gallery": 5, "capacity": 5,
+                    "batch": 4, "seq_len": 2, "height": 64, "width": 32,
+                    "channels": 3, "platform": "cpu",
+                    "gallery": 5, "capacity": 5,
                     "rerank": True, "rerank_queries": 16,
                     "rerank_staged": False, "rerank_devices": 1,
                     "ms": ping["ms"]}

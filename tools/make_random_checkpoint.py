@@ -36,9 +36,11 @@ def main():
     from grl_tpu.utils.serialization import save_train_state
 
     if args.tiny:
+        # mirror cli/train.py::build_models(tiny=True) exactly — the
+        # checkpoint must load through export-model/evaluate --tiny
         trunk = models.ResNetTrunk(layers=(1, 1, 1, 1), width=4)
         cnn = models.GRLModel(trunk=trunk)
-        sia = models.Siamese(input_num=cnn.num_feat, output_num=8)
+        sia = models.Siamese(input_num=cnn.num_feat, output_num=512)
         unc = models.SiameseVideo(input_num=cnn.num_feat)
     else:
         cnn = models.create("resnet50_grl")
