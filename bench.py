@@ -3,10 +3,15 @@
 Measures the hot path of the evaluation stack (BASELINE.json north star:
 "MARS clip features/sec/chip"): full-size ResNet-50 + GCE + TRL + attention
 pooling producing the 6144-d descriptor for 8-frame 256x128 clips, bf16
-compute, on the attached TPU.
+compute, on the attached TPU. Also times the MARS-scale evaluation tail
+(1980x11310 cosine distmat + device CMC/mAP protocol, 6144-d) and reports
+it as ``gallery_queries_per_sec`` — the second north-star throughput in
+BASELINE.json's metric line — so an eval-tail regression shows up in the
+per-round BENCH_r*.json series, not just in docs/PERFORMANCE.md prose.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N,
+   "gallery_queries_per_sec": N, ...}
 
 The reference publishes no throughput numbers (BASELINE.md: "none
 recorded") and no GPU is attached here, so the anchor is MEASURED from
@@ -35,6 +40,42 @@ REF_NOMINAL_CLIPS_PER_SEC = 100.0  # rounds 1-2 continuity anchor
 MICRO_BATCH = 96  # measured best on v5e (64: 1077, 96: 1110, 112: 1076 clips/s)
 SEQ_LEN = 8
 H, W = 256, 128
+
+
+def gallery_tail_queries_per_sec():
+    """MARS-scale eval tail: 1980x11310 cosine distmat + device CMC/mAP.
+
+    Features are generated and L2-normalized ON the device (the tail's
+    cost is independent of feature values, and synthesizing on-chip keeps
+    the ~330 MB of fp32 features off the 4-97 MB/s tunnel). Warm rate;
+    evaluate_device pulls the CMC curve to host, which is the only true
+    sync on the axon link.
+    """
+    from grl_tpu.engine import metrics
+    from grl_tpu.engine.evaluator import cosine_distance
+
+    q, extra_g, dim = 1980, 9330, 6144
+    kq, kg = jax.random.split(jax.random.PRNGKey(0))
+    qf = jax.random.normal(kq, (q, dim), jnp.float32)
+    qf = qf / jnp.linalg.norm(qf, axis=1, keepdims=True)
+    gfr = jax.random.normal(kg, (extra_g, dim), jnp.float32)
+    gfr = gfr / jnp.linalg.norm(gfr, axis=1, keepdims=True)
+    gf = jnp.concatenate([qf, gfr])  # reference protocol: gallery = query U gallery
+    rng = np.random.RandomState(0)
+    q_pids = rng.randint(0, q, q)
+    g_pids = np.concatenate([q_pids, rng.randint(0, q, extra_g)])
+    q_cams = rng.randint(0, 6, q)
+    g_cams = np.concatenate([q_cams, rng.randint(0, 6, extra_g)])
+
+    def tail():
+        dist = cosine_distance(qf, gf)
+        return metrics.evaluate_device(dist, q_pids, g_pids, q_cams, g_cams)
+
+    tail()  # compile + warm
+    t0 = time.perf_counter()
+    tail()
+    dt = time.perf_counter() - t0
+    return q / dt
 
 
 def main():
@@ -80,6 +121,7 @@ def main():
     dt = timed(10)
 
     clips_per_sec = MICRO_BATCH * 10 / dt
+    queries_per_sec = gallery_tail_queries_per_sec()
     print(
         json.dumps(
             {
@@ -92,6 +134,8 @@ def main():
                             "on this VM (tools/measure_reference_cpu.py; 1 TPU chip "
                             "vs 1 host core — same-CPU ratio is 1.3-1.6x)",
                 "vs_nominal_100": round(clips_per_sec / REF_NOMINAL_CLIPS_PER_SEC, 3),
+                "gallery_queries_per_sec": round(queries_per_sec, 1),
+                "gallery_scale": "MARS 1980x11310, 6144-d, distmat + device CMC/mAP, warm",
             }
         )
     )

@@ -530,7 +530,11 @@ def serve(args, inp=None, out=None):
     index as a gallery npz. --capacity without --gallery starts an empty
     index (enroll-from-scratch). A malformed request gets ``{"ok": false,
     "error": ...}`` and the loop continues — a daemon must not die on one
-    bad request. Every response carries ``ms`` (request wall time).
+    bad request. Request lines are size-capped (``--max-request-mb``,
+    default 256 MB): an oversize line — e.g. a runaway inline npz_b64 —
+    is drained in bounded 1 MiB chunks (never buffered whole), answered
+    with a clean error, and the connection stays alive. Every response
+    carries ``ms`` (request wall time).
 
     Lifecycle: SIGTERM/SIGINT shut the daemon down cleanly — the in-flight
     request finishes (its response is still written), the listening socket
@@ -1036,10 +1040,49 @@ def serve(args, inp=None, out=None):
     except ValueError:  # not the main thread
         prev_handlers = {}
 
+    # request lines are read with a hard size cap: inline operands ride
+    # base64-npz ON the line, so an unbounded readline would let one buggy
+    # or hostile client balloon host RSS before json.loads even runs. An
+    # oversize line is drained in bounded chunks (never buffered whole),
+    # answered with a clean {"ok": false}, and the connection stays alive.
+    max_request_mb = getattr(args, "max_request_mb", 256.0)
+    max_line_chars = int(max_request_mb * (1 << 20))
+
+    def _read_bounded_line(fin):
+        """readline with a cap; returns (line, oversize?)."""
+        line = fin.readline(max_line_chars + 1)
+        if len(line) <= max_line_chars or line.endswith("\n"):
+            return line, False
+        while True:  # discard the rest of the oversize line, 1 MiB at a time
+            chunk = fin.readline(1 << 20)
+            if not chunk or chunk.endswith("\n"):
+                return "", True
+
     def serve_lines(fin, fout):
         """One JSON-lines conversation; returns (#served, shutdown?)."""
         served = 0
-        for line in fin:
+        while True:
+            line, oversize = _read_bounded_line(fin)
+            if oversize:
+                resp = {
+                    "ok": False,
+                    "error": f"request line exceeds --max-request-mb "
+                             f"({max_request_mb:g} MB); send large "
+                             f"operands as file paths instead of inline "
+                             f"npz_b64, or raise the cap",
+                    "ms": 0.0,
+                }
+                with lifecycle["lock"]:
+                    s = stats.setdefault("oversize", {"n": 0, "errors": 0,
+                                                      "ms_total": 0.0,
+                                                      "ms_max": 0.0})
+                    s["n"] += 1
+                    s["errors"] += 1
+                fout.write(json.dumps(resp) + "\n")
+                fout.flush()  # OSError here = client vanished; conversation logs it
+                continue
+            if not line:  # EOF
+                break
             line = line.strip()
             if not line:
                 continue
@@ -1314,8 +1357,19 @@ def build_parser():
                         "connect/disconnect freely and are served "
                         "concurrently (device work serialized); a "
                         "shutdown op from any client, or SIGTERM/SIGINT, "
-                        "stops the daemon cleanly. No auth — bind trusted "
-                        "interfaces only")
+                        "stops the daemon cleanly. TRUST MODEL: the "
+                        "protocol has no auth and file-path operands read "
+                        "the daemon's filesystem — bind TCP only on "
+                        "trusted networks; unix:PATH scopes by filesystem "
+                        "permissions")
+    s.add_argument("--max-request-mb", type=float, default=256.0,
+                   dest="max_request_mb",
+                   help="hard cap on one request line (MB). Inline "
+                        "operands ride base64-npz on the line, so this "
+                        "bounds daemon memory per request; an oversize "
+                        "line is drained in bounded chunks and answered "
+                        "{\"ok\": false} with the connection kept alive. "
+                        "Larger operands should go via file paths")
     return parser
 
 

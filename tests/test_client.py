@@ -313,3 +313,53 @@ def test_client_concurrent_requests_coalesce(artifact, tmp_path):
             # (5 describe + 5 rank-by-clips), regardless of packing
             assert snap["clips"] == base_clips + 10
             c0.shutdown()
+
+
+def test_oversize_request_bounded(artifact, tmp_path):
+    """A multi-hundred-MB request line neither OOMs nor kills the daemon.
+
+    Inline operands ride base64-npz ON the request line, so before the
+    --max-request-mb cap one runaway client could balloon host RSS with a
+    single write. This streams a 320 MiB line at the daemon (cap 4 MB):
+    the daemon must answer a clean {"ok": false}, keep the SAME connection
+    serving, count the event in stats, and — the OOM proof — the process
+    peak RSS must not grow by anything near the line size (the drain is
+    1 MiB-chunked, never buffered whole; the sender reuses one chunk)."""
+    import json
+    import resource
+    import socket as socklib
+
+    with _daemon_over_unix(artifact, tmp_path,
+                           extra=["--max-request-mb", "4"]) as (sock, t):
+        conn = socklib.socket(socklib.AF_UNIX)
+        conn.settimeout(600)
+        conn.connect(sock)
+        try:
+            fin = conn.makefile("r", encoding="utf-8")
+            rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+            chunk = b"x" * (1 << 20)
+            for _ in range(320):
+                conn.sendall(chunk)
+            conn.sendall(b"\n")
+            resp = json.loads(fin.readline())
+            assert resp["ok"] is False
+            assert "max-request-mb" in resp["error"]
+
+            # same connection still serves
+            conn.sendall(b'{"op": "ping"}\n')
+            ping = json.loads(fin.readline())
+            assert ping["ok"] is True and ping["op"] == "ping"
+
+            conn.sendall(b'{"op": "stats"}\n')
+            stats = json.loads(fin.readline())
+            assert stats["ops"]["oversize"]["n"] == 1
+
+            rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            # daemon thread shares this process; 320 MiB flowed through
+            # but peak RSS may grow only by buffers, not the line
+            assert rss1 - rss0 < 100 * 1024, (rss0, rss1)
+        finally:
+            conn.close()
+
+        with ServeClient.connect(f"unix:{sock}", timeout=600) as c:
+            c.shutdown()

@@ -47,13 +47,17 @@ def main():
     ap.add_argument("--width", type=int, default=32)
     args = ap.parse_args()
 
+    with tempfile.TemporaryDirectory(prefix="serve_conc_") as tmp:
+        _run(args, tmp)
+
+
+def _run(args, tmp):
     import numpy as np
 
     from grl_tpu.cli.extract import build_parser, serve
     from grl_tpu.cli.extract import main as extract_main
     from grl_tpu.client import ServeClient
 
-    tmp = tempfile.mkdtemp(prefix="serve_conc_")
     model = args.model
     if not model:
         ckpt = osp.join(tmp, "ckpt.npz")
@@ -114,6 +118,9 @@ def main():
                         w.describe(clip)
             except Exception as e:  # noqa: BLE001
                 errs[i] = e
+                # Release peers parked on the barrier so the failure
+                # surfaces in `errs` instead of hanging the join below.
+                barrier.abort()
 
         threads = [threading.Thread(target=worker, args=(i,))
                    for i in range(args.clients)]
