@@ -142,7 +142,8 @@ def visualize_attention(cnn, params, state, clips_u8, save_dir, prefix="cam"):
     (_, _, corr_map), _ = cnn.children["backbone"].apply(
         params["backbone"], state["backbone"], clips, training=False
     )
-    corr_map = np.asarray(corr_map)[..., 0]  # (b, t, h', w')
+    # the backbone emits time-major (t, b, h', w', 1) — see gce.py
+    corr_map = np.moveaxis(np.asarray(corr_map)[..., 0], 0, 1)  # (b, t, h', w')
     b, t = clips_u8.shape[0], clips_u8.shape[1]
     for bi in range(b):
         fig, axes = plt.subplots(2, t, figsize=(2 * t, 5), squeeze=False)

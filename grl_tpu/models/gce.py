@@ -11,9 +11,18 @@ sigmoid spatial mask. Semantics follow reference reid/models/basebranch.py:
   (:63-67).
 
 TPU-first shape discipline: everything stays NHWC; frames ride the batch
-axis as (b*t, 16, 8, 2048); the broadcastized global feature is expanded
-lazily by XLA (no materialized 3072-channel concat in HBM — fused by XLA
-into the first 1x1 conv's matmul).
+axis TIME-MAJOR as (t*b, 16, 8, 2048); the broadcastized global feature is
+expanded lazily by XLA (no materialized 3072-channel concat in HBM — fused
+by XLA into the first 1x1 conv's matmul).
+
+Why time-major: the downstream TRL recurrence consumes (t, b, ...) slices.
+With batch-major trunk outputs that cost two (b,t)->(t,b) transposes of
+the full 2048-channel feature maps (~0.8 GB of HBM traffic per describe
+micro-batch — the measured "reshape" overhead in the round-2 profile);
+transposing the 3-channel INPUT clip instead moves ~5x fewer bytes and
+XLA fuses it into the preceding elementwise normalize. Frame order through
+the trunk is irrelevant to per-frame convs, and BN batch statistics are
+order-invariant.
 """
 
 from __future__ import annotations
@@ -31,8 +40,10 @@ class GCEBackbone(Module):
     """ResNet-50 trunk + global-correlation split.
 
     apply(...) input: (b, t, h, w, 3) clip batch.
-    Returns ((x_uncorr, x_corr, corr_map), state):
-      x_uncorr, x_corr: (b, t, 16, 8, 2048); corr_map: (b, t, 16, 8, 1).
+    Returns ((x_uncorr, x_corr, corr_map), state) TIME-MAJOR:
+      x_uncorr, x_corr: (t, b, 16, 8, 2048); corr_map: (t, b, 16, 8, 1)
+    — free views of the trunk's (t*b, ...) frame batch, ready for the TRL
+    recurrence with no full-feature-map transposes (see module docstring).
     """
 
     def __init__(self, trunk=None, compute_dtype=None):
@@ -66,7 +77,7 @@ class GCEBackbone(Module):
 
     def apply(self, params, state, clips, *, training=False):
         b, t, h, w, c = clips.shape
-        frames = clips.reshape(b * t, h, w, c)
+        frames = jnp.moveaxis(clips, 1, 0).reshape(t * b, h, w, c)
 
         ns = {}
         x, ns["base"] = self.children["base"].apply(
@@ -75,7 +86,7 @@ class GCEBackbone(Module):
         fh, fw, fc = x.shape[1], x.shape[2], x.shape[3]
 
         # Clip-global feature: spatial + temporal mean of layer-4 maps.
-        x_glo = jnp.mean(x.reshape(b, t, fh, fw, fc), axis=(1, 2, 3))
+        x_glo = jnp.mean(x.reshape(t, b, fh, fw, fc), axis=(0, 2, 3))
         glo, ns["glo_fc"] = self.children["glo_fc"].apply(
             params["glo_fc"], state["glo_fc"], x_glo, training=training
         )
@@ -94,7 +105,9 @@ class GCEBackbone(Module):
         g0 = jnp.dot(
             glo.astype(k_g.dtype), k_g, preferred_element_type=jnp.float32
         ).astype(h0.dtype)
-        h0 = h0 + jnp.repeat(g0, t, axis=0)[:, None, None, :]
+        # frames are time-major (t*b): row ti*b + bi belongs to clip bi, so
+        # the per-clip bias tiles over the leading t blocks
+        h0 = h0 + jnp.tile(g0, (t, 1))[:, None, None, :]
 
         ns["corr_atte"] = dict(state["corr_atte"])
         h1, ns["corr_atte"]["1"] = atte[1].apply(
@@ -109,5 +122,5 @@ class GCEBackbone(Module):
         x_corr = x * corr_map
         x_uncorr = x * (1.0 - corr_map)
 
-        to_clip = lambda a: a.reshape(b, t, fh, fw, a.shape[-1])
+        to_clip = lambda a: a.reshape(t, b, fh, fw, a.shape[-1])
         return (to_clip(x_uncorr), to_clip(x_corr), to_clip(corr_map)), ns

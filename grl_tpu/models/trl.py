@@ -17,11 +17,24 @@ reid/models/grl_model.py:87-180:
   (:170-176); clip-level uncorrelated feature = pooled final memories of both
   directions (:178).
 
-TPU-first: the python-loop recurrences become two ``jax.lax.scan``s over the
-time axis (XLA compiles one fused step; no per-step dispatch), with BatchNorm
-running statistics threaded through the scan carry — reproducing torch's
-sequential per-step running-stat updates exactly. All 1x1 convs are (b*h*w,
-cin) x (cin, cout) matmuls on the MXU.
+TPU-first: one shared step function runs either statically UNROLLED over
+the time axis (t is a compile-time 4/8; under jit the whole chain is one
+fused XLA program — no per-step dispatch) or as a ``jax.lax.scan``, with
+BatchNorm running statistics threaded sequentially either way —
+reproducing torch's per-step running-stat updates exactly. All 1x1 convs
+are (b*h*w, cin) x (cin, cout) matmuls on the MXU.
+
+The default picks unrolled for training, scan for eval — a MEASURED
+trade-off (docs/PERFORMANCE.md round 5): training's scan pays carry/
+residual stacking (``dynamic_update_slice``, ~2.9 ms/step in the round-2
+train profile) that unrolling removes, while at eval the scan's holistic
+operand layout wins — unrolled per-step slices forced XLA to relayout
+x_corr/x_uncorr/f2 (three 402 MB copies at micro-batch 96, +3.5 ms/call)
+that the scan consumes copy-free. Inputs arrive TIME-MAJOR (t, b, h, w, c)
+straight from the GCE backbone (free views of its (t*b, ...) frame batch —
+see gce.py), so no transposed copies of the full feature maps are ever
+materialized on the way in, and the backward direction is reversed
+iteration order / native scan reverse (no reversed copies either).
 """
 
 from __future__ import annotations
@@ -90,14 +103,25 @@ class _Direction(Module):
     def init(self, rng):
         return init_children(rng, self.children)
 
-    def scan(self, params, state, x_corr, x_uncorr, *, training=False, reverse=False):
+    def scan(self, params, state, x_corr, x_uncorr, *, training=False,
+             reverse=False, unroll=None):
         """Run the recurrence over time.
 
-        x_corr / x_uncorr: (t, b, h, w, c) — time-major for lax.scan.
-        ``reverse=True`` runs the backward temporal direction natively
-        (lax.scan iterates last-to-first and writes each step's output at
-        its own time position — already frame-aligned, so no reversed
-        copies of the 0.5 GB clip tensors are ever materialized).
+        x_corr / x_uncorr: (t, b, h, w, c) — time-major; per-step slices
+        are contiguous views. ``reverse=True`` runs the backward temporal
+        direction (reversed iteration / native scan reverse), each step's
+        output written at its own time position (already frame-aligned —
+        the reference's explicit re-reversal, grl_model.py:170-173, is
+        the identity here).
+
+        ``unroll`` picks the loop implementation (default: unroll iff
+        ``training``) — MEASURED trade-off, docs/PERFORMANCE.md round 5:
+        training pays ~2.9 ms/step of scan carry/residual stacking
+        (dynamic_update_slice chains saving backward residuals), which
+        static unrolling removes; at eval the scan's holistic operand
+        layout wins instead — unrolled per-step slices forced XLA to
+        relayout x_corr/x_uncorr/f2 (three 402 MB copies at micro-batch
+        96, +3.5 ms/call) while the scan consumes them copy-free.
         Returns (f_steps (t, b, c), final_memo (b, h, w, c), new_state).
         """
         c = self.children
@@ -105,11 +129,11 @@ class _Direction(Module):
         t, b, h, w, ch = x_corr.shape
 
         # Hoist everything that does not depend on the recurrence out of the
-        # scan (exact algebra, no approximation):
+        # loop (exact algebra, no approximation):
         #  - f2 = relu(conv(frame)) is memory-independent → one batched
         #    (t*b*h*w, C) MXU matmul instead of t sequential ones;
         #  - mean_hw(x*atte + x) == mean_hw(x) * (1 + atte), so the enhanced
-        #    (b, h, w, C) map never needs materializing — the scan body
+        #    (b, h, w, C) map never needs materializing — the loop body
         #    touches x_corr only through f2 and its precomputed spatial mean.
         f2_all, _ = c["f2"].apply(params["f2"], state["f2"], x_corr.reshape(t * b, h, w, ch))
         f2_all = F.relu(f2_all).reshape(t, b, h, w, ch)
@@ -128,16 +152,29 @@ class _Direction(Module):
             )
             return (new_memo, new_bn), f_step
 
-        (memo_final, memo_state_new), f_steps = jax.lax.scan(
-            step, (memo0, state["memo"]), (f2_all, xc_mean, x_uncorr), reverse=reverse
-        )
+        if unroll is None:
+            unroll = training
+        if unroll:
+            carry = (memo0, state["memo"])
+            f_steps = [None] * t
+            order = range(t - 1, -1, -1) if reverse else range(t)
+            for i in order:
+                carry, f_steps[i] = step(carry, (f2_all[i], xc_mean[i], x_uncorr[i]))
+            memo_final, memo_state_new = carry
+            f_steps = jnp.stack(f_steps)
+        else:
+            (memo_final, memo_state_new), f_steps = jax.lax.scan(
+                step, (memo0, state["memo"]), (f2_all, xc_mean, x_uncorr),
+                reverse=reverse,
+            )
         return f_steps, memo_final, {**state, "memo": memo_state_new}
 
 
 class TRLBlock(Module):
     """Bidirectional TRL over a clip.
 
-    apply input: ``(x_uncorr, x_corr)`` each (b, t, h, w, c).
+    apply input: ``(x_uncorr, x_corr)`` each (t, b, h, w, c) TIME-MAJOR
+    (the GCE backbone's native output layout).
     Returns ``((f_uncorr (b, c), f_corr (b, t, c)), state)``.
     """
 
@@ -151,21 +188,17 @@ class TRLBlock(Module):
         return init_children(rng, self.children)
 
     def apply(self, params, state, x, *, training=False):
-        x_uncorr, x_corr = x
-        # time-major for scan
-        xc = jnp.moveaxis(x_corr, 1, 0)
-        xu = jnp.moveaxis(x_uncorr, 1, 0)
+        x_uncorr, x_corr = x  # (t, b, h, w, c) time-major
 
         f_fwd, memo_f, ns_f = self.children["fwd"].scan(
-            params["fwd"], state["fwd"], xc, xu, training=training
+            params["fwd"], state["fwd"], x_corr, x_uncorr, training=training
         )
-        # reverse=True runs the backward direction over the SAME clip
-        # tensors (no reversed copies) and emits features already in frame
-        # order — the reference's explicit re-reversal (:170-173) is the
-        # identity here.
         f_bwd, memo_b, ns_b = self.children["bwd"].scan(
-            params["bwd"], state["bwd"], xc, xu, training=training, reverse=True
+            params["bwd"], state["bwd"], x_corr, x_uncorr, training=training,
+            reverse=True,
         )
+        # the only layout change back to batch-major is on the tiny pooled
+        # features (t, b, c) — a few MB, not the full feature maps
         f_corr = jnp.moveaxis(f_fwd + f_bwd, 0, 1)
         f_uncorr = jnp.mean(memo_f, axis=(1, 2)) + jnp.mean(memo_b, axis=(1, 2))
         return (f_uncorr, f_corr), {"fwd": ns_f, "bwd": ns_b}

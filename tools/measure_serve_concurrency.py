@@ -15,9 +15,14 @@ Builds a tiny random-init artifact when --model is omitted (descriptor
 math is init-independent; program shapes are what matter). No reference
 analogue: flysnowtiger/GRL stops at offline evaluation.
 
+``--rank-every K`` makes every Kth request per client a ``rank`` (clips
+-> descriptor -> gallery top-k) instead of a plain describe: rank's
+descriptor stage rides the same coalescer (extract.py:912-914), so the
+mixed workload measures packing under the realistic describe+rank blend.
+
 usage:
   python tools/measure_serve_concurrency.py [--model m.npz]
-      [--clients 6] [--reps 8] [--batch 8] [--seq_len 4]
+      [--clients 6] [--reps 8] [--batch 8] [--seq_len 4] [--rank-every 4]
 """
 
 import argparse
@@ -45,6 +50,9 @@ def main():
     ap.add_argument("--seq_len", type=int, default=4)
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--rank-every", type=int, default=0,
+                    help="make every Kth request per client a rank "
+                         "(0 = describe-only)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory(prefix="serve_conc_") as tmp:
@@ -75,8 +83,10 @@ def _run(args, tmp):
         ]))
 
     sock = osp.join(tmp, "serve.sock")
-    serve_args = build_parser().parse_args(
-        ["serve", "--model", model, "--listen", f"unix:{sock}", "--warmup"])
+    argv = ["serve", "--model", model, "--listen", f"unix:{sock}", "--warmup"]
+    if args.rank_every:
+        argv += ["--capacity", "64", "--topk", "4"]
+    serve_args = build_parser().parse_args(argv)
     daemon = threading.Thread(target=serve, args=(serve_args,), daemon=True)
     daemon.start()
     deadline = time.time() + 1200
@@ -90,7 +100,19 @@ def _run(args, tmp):
                  meta["channels"])
         rng = np.random.RandomState(0)
         clip = rng.randint(0, 256, shape, np.uint8)
-        c.describe(clip)  # flush any residual cold cost before timing
+        d0 = c.describe(clip)  # flush any residual cold cost before timing
+
+        if args.rank_every:
+            # enroll a small random gallery so rank has something to score
+            dim = d0["features"].shape[-1]
+            c.add(features=rng.randn(32, dim).astype(np.float32))
+            c.rank(clip)  # flush rank's one-time compile before timing
+
+        def issue(conn, j):
+            if args.rank_every and (j + 1) % args.rank_every == 0:
+                conn.rank(clip)
+            else:
+                conn.describe(clip)
 
         def snap():
             return c.stats()["describe_batching"]
@@ -100,10 +122,10 @@ def _run(args, tmp):
 
         total = args.clients * args.reps
 
-        # sequential: one connection, `total` single-clip describes
+        # sequential: one connection, `total` single-clip requests
         s0, t0 = snap(), time.time()
-        for _ in range(total):
-            c.describe(clip)
+        for j in range(total):
+            issue(c, j)
         seq = {"wall_s": round(time.time() - t0, 3), **delta(s0, snap())}
 
         # concurrent: N connections x reps, barrier-aligned
@@ -114,8 +136,8 @@ def _run(args, tmp):
             try:
                 with ServeClient.connect(f"unix:{sock}", timeout=1200) as w:
                     barrier.wait()
-                    for _ in range(args.reps):
-                        w.describe(clip)
+                    for j in range(args.reps):
+                        issue(w, j)
             except Exception as e:  # noqa: BLE001
                 errs[i] = e
                 # Release peers parked on the barrier so the failure
@@ -139,6 +161,7 @@ def _run(args, tmp):
     print(json.dumps({
         "platform": meta.get("platform", "?"), "batch": meta["batch"],
         "total_clips": total, "clients": args.clients,
+        "rank_every": args.rank_every,
         "sequential": seq, "concurrent": conc,
         "dispatch_reduction": round(seq["dispatches"]
                                     / max(conc["dispatches"], 1), 2),

@@ -1,13 +1,18 @@
-"""xprof the jitted train step at a given batch size; print per-op stats.
+"""xprof a jitted hot program at a given batch size; print per-op stats.
 
 Captures a jax.profiler trace of a few warm steps on the attached TPU and
 converts the xplane with the xprof plugin's converters, printing the
 top ops by self time — the tool behind docs/PERFORMANCE.md's train-step
 breakdowns and the batch-scaling investigation (VERDICT round 2, weak 2).
 
+``--program describe`` traces the bench.py descriptor program instead
+(micro-batch 96, bf16, the scoped-VMEM compiler options) — the tool
+behind the eval-side non-conv overhead hunt (VERDICT round 4, weak 2).
+
 usage:
   python tools/profile_train_step.py --batch 16 --steps 3
   python tools/profile_train_step.py --batch 32 --steps 3 --tool hlo_op_stats
+  python tools/profile_train_step.py --program describe --batch 96 --steps 3
 """
 
 import argparse
@@ -50,6 +55,45 @@ def capture(batch, steps, seq_len, logdir):
         for _ in range(steps):
             ts, m = step(ts, clips, pids, 1e-3)
         float(m["loss"])
+
+
+def capture_describe(batch, steps, seq_len, logdir):
+    """Trace the exact bench.py descriptor program (bf16, scoped-VMEM
+    compile options, uint8 input through the fused normalize)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grl_tpu import models
+    from grl_tpu.data.transforms import normalize
+    from grl_tpu.utils.profiling import (
+        descriptor_compiler_options, enable_compilation_cache, trace,
+    )
+
+    enable_compilation_cache()
+    cnn = models.create("resnet50_grl", compute_dtype=jnp.bfloat16)
+    sia = models.create("siamese", input_num=cnn.num_feat, output_num=512,
+                        compute_dtype=jnp.bfloat16)
+    params, state = cnn.init(jax.random.PRNGKey(0))
+    sp, ss = sia.init(jax.random.PRNGKey(1))
+
+    @partial(jax.jit, compiler_options=descriptor_compiler_options())
+    def describe(params, state, sp, ss, clips_u8):
+        clips = normalize(clips_u8)
+        (x_uncorr, x_corr), _ = cnn.apply(params, state, clips, training=False)
+        pooled, _ = sia.self_attention(sp, ss, x_corr, training=False)
+        return jnp.concatenate([x_uncorr, pooled, jnp.mean(x_corr, axis=1)], axis=1)
+
+    clips = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (batch, seq_len, 256, 128, 3), np.uint8))
+    float(jnp.sum(describe(params, state, sp, ss, clips)))  # compile + sync
+    with trace(logdir):
+        acc = jnp.float32(0)
+        for _ in range(steps):
+            acc = acc + jnp.sum(describe(params, state, sp, ss, clips))
+        float(acc)
 
 
 def report(logdir, tool, top):
@@ -181,11 +225,16 @@ def main():
     ap.add_argument("--roofline", default="",
                     help="per-HLO roofline table for ops whose name or "
                          "category matches this regex (e.g. 'convolution')")
+    ap.add_argument("--program", default="train", choices=["train", "describe"],
+                    help="which jitted program to trace")
     args = ap.parse_args()
 
     logdir = args.logdir or tempfile.mkdtemp(prefix=f"xprof_b{args.batch}_")
     if not args.report_only:
-        capture(args.batch, args.steps, args.seq_len, logdir)
+        if args.program == "describe":
+            capture_describe(args.batch, args.steps, args.seq_len, logdir)
+        else:
+            capture(args.batch, args.steps, args.seq_len, logdir)
         print(f"trace captured in {logdir}", file=sys.stderr)
     if args.roofline:
         from xprof.convert import raw_to_tool_data as convert
